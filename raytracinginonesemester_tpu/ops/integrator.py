@@ -1,0 +1,168 @@
+"""Path integrator: fixed-depth wavefront loop with throughput/radiance carry.
+
+TPU-native port of the *iterative* tracer the reference proved on GPU
+(``TraceRayIterative``, ``GPUandCPU/include/query.h:156-220``) — the same
+semantics as CPUOnly's recursive ``TraceRay``
+(``CPUOnly/include/raytracer.h:215-260``) restated as a loop, which is
+exactly the shape ``lax.scan`` wants: static depth, whole-wavefront state,
+per-lane aliveness masks instead of control flow.
+
+Per bounce:  closest hit -> miss shading -> direct lighting (+shadows) ->
+Russian-roulette diffuse/mirror split -> throughput update -> early-out.
+RNG is the reference's per-ray uint32 stream (bit-compatible, see
+``core.rng``); masked state threading reproduces the scalar code's
+draws-only-when-the-branch-is-taken behavior lane by lane.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..core import rng as rnglib
+from ..core.vecmath import reflect
+from ..scene.build import Scene
+from . import shading
+from .intersect import FLT_EPSILON, intersect_closest, make_hit_frame
+
+__all__ = ["trace_rays"]
+
+
+def trace_rays(
+    origins: Array,
+    dirs: Array,
+    rng_state: Array,
+    scene: Scene,
+) -> Array:
+    """Trace a wavefront of rays to completion; returns radiance (R, 3).
+
+    Dialect differences honored (see module docstring of ``ops.shading``):
+
+    =====================  ======================  =====================
+    ..                     gpu                     cpuonly
+    =====================  ======================  =====================
+    det epsilon            1e-8                    FLT_EPSILON
+    ray-offset eps         1e-3                    1e-4
+    traversal tmin         1e-4                    1e-4
+    miss radiance          miss_color              sky gradient
+    diffuse throughput     albedo * 2 * N.L        albedo * total * 2 * N.L
+    mirror throughput      kr * tint               (db ? total : kr) * tint
+    final clamp            [0, 1] per bounce loop  none (clamped at PNG)
+    =====================  ======================  =====================
+
+    (throughput rows cite ``query.h:195-206`` vs ``raytracer.h:240-256``;
+    the GPU path clamps the summed radiance once at loop exit,
+    ``query.h:219``.)
+    """
+    gpu = scene.dialect == "gpu"
+    det_eps = 1e-8 if gpu else FLT_EPSILON
+    offset_eps = shading.RT_EPS_GPU if gpu else shading.RT_EPS_CPUONLY
+    tmin = 1e-4  # kRayTMin (query.h:230) == CPUOnly RT_EPS
+    max_depth = scene.max_bounces
+    diffuse_bounce = scene.diffuse_bounce
+
+    geom = scene.geometry
+    r = origins.shape[0]
+
+    def bounce(carry, _):
+        o, d, throughput, radiance, state, alive = carry
+
+        hits = intersect_closest(o, d, geom.vertices, tmin=tmin, det_eps=det_eps)
+        found = hits.hit & alive
+
+        # --- miss shading ---
+        if gpu:
+            miss_rad = jnp.broadcast_to(scene.miss_color, (r, 3))
+        else:
+            unit_d = d / jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1, keepdims=True), 1e-38))
+            miss_rad = shading.sky_gradient(unit_d)
+        missed = alive & ~hits.hit
+        radiance = radiance + jnp.where(missed[:, None], throughput * miss_rad, 0.0)
+
+        # --- hit frame + material ---
+        p, n, _ = make_hit_frame(
+            o, d, hits, geom.vertices, geom.normals, mode=scene.dialect
+        )
+        obj = geom.obj_id[jnp.maximum(hits.tri_idx, 0)]
+        mat = scene.materials.gather(obj)
+
+        # --- direct lighting ---
+        direct, state_direct = shading.shade_direct(
+            o, d, p, n, mat, scene.lights, geom.vertices, state,
+            dialect=scene.dialect, det_eps=det_eps,
+        )
+        state = jnp.where(found, state_direct, state)
+        radiance = radiance + jnp.where(found[:, None], throughput * direct, 0.0)
+
+        # --- Russian-roulette bounce split (query.h:188-206) ---
+        kd, kr = mat.kd, mat.kr
+        total = kd + kr
+        can_bounce = found & (total > 0.0)
+
+        n_unit = n / jnp.sqrt(jnp.maximum(jnp.sum(n * n, -1, keepdims=True), 1e-38))
+        state_xi, xi = rnglib.rng_next(state)
+        state = jnp.where(can_bounce, state_xi, state)
+
+        take_diffuse = can_bounce & (xi < kd / jnp.where(total > 0, total, 1.0))
+        if not diffuse_bounce:
+            take_diffuse = jnp.zeros_like(take_diffuse)
+        take_mirror = can_bounce & ~take_diffuse
+        if not gpu:
+            # CPUOnly only mirrors when kr > 0 (raytracer.h:249);
+            # the GPU loop always takes the else-branch.
+            take_mirror = take_mirror & (kr > 0.0)
+
+        # diffuse branch: hemisphere sample consumes RNG only where taken
+        state_h, hemi = rnglib.random_on_hemisphere(n_unit, state)
+        state = jnp.where(take_diffuse, state_h, state)
+        ndotl = jnp.maximum(jnp.sum(n_unit * hemi, axis=-1), 0.0)
+        if gpu:
+            diff_tp = mat.albedo * (2.0 * ndotl)[:, None]
+        else:
+            diff_tp = mat.albedo * (total * 2.0 * ndotl)[:, None]
+
+        # mirror branch: GPU uses kr * tint (query.h:202-205); CPUOnly uses
+        # (diffuse_bounce ? total : kr) * tint (raytracer.h:249-255)
+        d_unit = d / jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1, keepdims=True), 1e-38))
+        refl = reflect(d_unit, n_unit)
+        if gpu:
+            mirror_scale = kr
+        else:
+            mirror_scale = total if diffuse_bounce else kr
+        mirror_tp = mat.specular_color * mirror_scale[:, None]
+
+        new_dir = jnp.where(take_diffuse[:, None], hemi, refl)
+        new_origin = p + n_unit * offset_eps
+        tp_scale = jnp.where(
+            take_diffuse[:, None], diff_tp,
+            jnp.where(take_mirror[:, None], mirror_tp, 1.0),
+        )
+
+        bounced = take_diffuse | take_mirror
+        o = jnp.where(bounced[:, None], new_origin, o)
+        d = jnp.where(bounced[:, None], new_dir, d)
+        throughput = jnp.where(bounced[:, None], throughput * tp_scale, throughput)
+
+        # early-out: all channels < 1e-4 (query.h:209-212)
+        tiny = jnp.all(throughput < 1e-4, axis=-1)
+        alive = bounced & ~tiny
+
+        return (o, d, throughput, radiance, state, alive), None
+
+    init = (
+        origins,
+        dirs,
+        jnp.ones((r, 3), jnp.float32),
+        jnp.zeros((r, 3), jnp.float32),
+        jnp.asarray(rng_state, jnp.uint32),
+        jnp.ones((r,), bool),
+    )
+    (_, _, _, radiance, _, _), _ = jax.lax.scan(bounce, init, None, length=max_depth)
+
+    if gpu:
+        radiance = jnp.clip(radiance, 0.0, 1.0)  # clamp(radiance), query.h:219
+    return radiance

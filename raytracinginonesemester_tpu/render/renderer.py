@@ -1,0 +1,198 @@
+"""Top-level render drivers: whole-image wavefront rendering under ``jit``.
+
+TPU-native replacement for the reference's render entry points:
+
+- ``HW1/src/render.cpp:15-136`` — brute-force single-bounce renderer,
+- ``CPUOnly/src/render.cpp:22-169`` — recursive tracer driver,
+- ``GPUandCPU/include/query.cu:10-167`` — ``renderBatchCUDA`` pixel-thread
+  kernel + sample batching, and its CPU fallback loop.
+
+Design: rays for the whole image are generated in one batched op, tiled
+into fixed-size wavefronts (``lax.map`` over ray tiles bounds peak memory
+the way the reference's 16x16 CUDA blocks bound register pressure), with
+the sample loop as a ``lax.scan`` accumulating into the image — the analog
+of the reference's 32-sample register batches (``query.cu:39-65``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from ..core import rng as rnglib
+from ..core.camera import Camera
+from ..ops import shading
+from ..ops.integrator import trace_rays
+from ..ops.intersect import FLT_EPSILON, intersect_closest, make_hit_frame
+from ..scene.build import Scene
+
+__all__ = ["render_scene", "render_hw1", "DEFAULT_RAY_TILE"]
+
+DEFAULT_RAY_TILE = 16384
+
+
+def _pixel_grid(width: int, height: int):
+    ys, xs = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.int32),
+        jnp.arange(width, dtype=jnp.int32),
+        indexing="ij",
+    )
+    return xs.reshape(-1), ys.reshape(-1)
+
+
+def _tile_map(fn, args, num_rays: int, tile: int):
+    """Apply ``fn`` over fixed-size ray tiles; pads the tail tile.
+
+    All ``args`` leaves must have leading dim ``num_rays``; result leaves
+    keep leading dim ``num_rays``.
+    """
+    tile = min(tile, num_rays)
+    padded = ((num_rays + tile - 1) // tile) * tile
+    if padded != num_rays:
+        args = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (padded - num_rays,) + a.shape[1:])]
+            ),
+            args,
+        )
+    args = jax.tree.map(lambda a: a.reshape((padded // tile, tile) + a.shape[1:]), args)
+    out = jax.lax.map(fn, args)
+    out = jax.tree.map(lambda a: a.reshape((padded,) + a.shape[2:])[:num_rays], out)
+    return out
+
+
+@partial(jax.jit, static_argnames=("jitter_mode", "ray_tile", "spp_override"))
+def render_scene(
+    scene: Scene,
+    jitter_mode: str = "auto",
+    ray_tile: int = DEFAULT_RAY_TILE,
+    spp_override: Optional[int] = None,
+) -> Array:
+    """Render a built scene to a linear (H, W, 3) float32 image.
+
+    ``jitter_mode`` picks the sub-pixel sampling scheme:
+
+    - ``"wang"`` — per-(pixel, sample) Wang-hash jitter in [-0.5, 0.5),
+      exactly the CUDA kernel's sequence (``query.cu:36-43``),
+    - ``"reference_cpu"`` — one host-side mt19937(42) offset per sample
+      shared by all pixels, exactly the GPU repo's CPU fallback
+      (``query.cu:137-146``) — the oracle-parity mode,
+    - ``"center"`` — deterministic pixel centers: offset +0.5 in the
+      CPUOnly convention (``CPUOnly/src/render.cpp:127-128`` at spp==1),
+    - ``"auto"`` — gpu dialect -> "wang"; cpuonly -> "center" when spp==1
+      else "wang" (the reference's spp>1 CPUOnly jitter is a non-seeded
+      mt19937 and thus unreproducible; we substitute the wang stream).
+
+    The per-ray RNG seed is ``make_rng_seed(x, y, sample)`` in every mode
+    (``query.h:44-48``), so images are independent of ray-tile size and
+    device sharding.
+    """
+    spp = spp_override if spp_override is not None else scene.spp
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    xs, ys = _pixel_grid(w, h)
+    num_rays = w * h
+    gpu = scene.dialect == "gpu"
+
+    if jitter_mode == "auto":
+        jitter_mode = "wang" if (gpu or spp > 1) else "center"
+
+    host_offsets = None
+    if jitter_mode == "reference_cpu":
+        host_offsets = jnp.asarray(rnglib.jittered_samples(spp, 42, centered=True))
+
+    def one_sample(s: Array) -> Array:
+        if jitter_mode == "wang":
+            jx, jy = rnglib.pixel_jitter(xs, ys, s)
+        elif jitter_mode == "reference_cpu":
+            jx = jnp.broadcast_to(host_offsets[s, 0], xs.shape)
+            jy = jnp.broadcast_to(host_offsets[s, 1], ys.shape)
+        elif jitter_mode == "center":
+            # CPUOnly convention: +0.5 from the pixel00 grid point
+            jx = jnp.full(xs.shape, 0.5, jnp.float32)
+            jy = jnp.full(ys.shape, 0.5, jnp.float32)
+        else:
+            raise ValueError(f"unknown jitter_mode {jitter_mode!r}")
+
+        px = xs.astype(jnp.float32) + jx
+        py = ys.astype(jnp.float32) + jy
+        origins, dirs = cam.get_rays(px, py)
+        seeds = rnglib.make_rng_seed(xs, ys, s)
+
+        def tile_fn(args):
+            o, d, st = args
+            return trace_rays(o, d, st, scene)
+
+        return _tile_map(tile_fn, (origins, dirs, seeds), num_rays, ray_tile)
+
+    def sample_body(accum, s):
+        return accum + one_sample(s), None
+
+    accum, _ = jax.lax.scan(
+        sample_body,
+        jnp.zeros((num_rays, 3), jnp.float32),
+        jnp.arange(spp, dtype=jnp.int32),
+    )
+    image = accum / float(spp)
+    return image.reshape(h, w, 3)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "ray_tile"))
+def render_hw1(
+    vertices: Array,
+    normals: Array,
+    camera: Camera,
+    light_position: Array,
+    light_color: Array,
+    width: int,
+    height: int,
+    spp: int = 1,
+    offsets: Optional[Array] = None,
+    ray_tile: int = DEFAULT_RAY_TILE,
+) -> Array:
+    """The HW1 pipeline: one brute-force bounce, fixed metal shader.
+
+    Faithful to ``HW1/src/render.cpp:72-116`` including its jitter quirk:
+    render.cpp builds fractional coords ``i + offset`` but HW1's camera
+    only has an ``(int, int)`` ``get_pixel_position`` overload
+    (``HW1/include/camera.h:33-35``), so C++ silently truncates the
+    offsets away and every sample shoots through the integer grid point.
+    We therefore floor the offsets (pass ``offsets`` (spp, 2) in [0, 1) or
+    default to the reference's mt19937(42) stream, which all floor to 0).
+    Closest hit over all triangles uses t >= 0 with the FLT_EPSILON det
+    cutoff, then ``shade_hw1``.
+    """
+    if offsets is None:
+        offsets = jnp.asarray(rnglib.jittered_samples(spp, 42, centered=False))
+    offsets = jnp.floor(offsets)  # the reference's int-truncation quirk
+    xs, ys = _pixel_grid(width, height)
+    num_rays = width * height
+
+    def one_sample(s):
+        px = xs.astype(jnp.float32) + offsets[s, 0]
+        py = ys.astype(jnp.float32) + offsets[s, 1]
+        origins, dirs = camera.get_rays(px, py)
+
+        def tile_fn(args):
+            o, d = args
+            hits = intersect_closest(
+                o, d, vertices, tmin=0.0, det_eps=FLT_EPSILON
+            )
+            p, n, _ = make_hit_frame(o, d, hits, vertices, normals, mode="hw1")
+            return shading.shade_hw1(
+                o, d, p, n, hits.hit, light_position, light_color
+            )
+
+        return _tile_map(tile_fn, (origins, dirs), num_rays, ray_tile)
+
+    accum, _ = jax.lax.scan(
+        lambda acc, s: (acc + one_sample(s), None),
+        jnp.zeros((num_rays, 3), jnp.float32),
+        jnp.arange(spp, dtype=jnp.int32),
+    )
+    return (accum / float(spp)).reshape(height, width, 3)

@@ -1,0 +1,189 @@
+"""Ray-triangle intersection tests.
+
+Re-expresses the reference's Catch2 suite
+(``HW1/test_ray_tri_inter_STANDALONE/test_ray_triangle_inter.cpp:17-126``)
+against the batched intersector, plus closest-hit/ordering and occlusion
+tests the reference lacks.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from raytracinginonesemester_tpu.ops.intersect import (
+    FLT_EPSILON,
+    intersect_closest,
+    make_hit_frame,
+    occluded,
+)
+
+# The reference test triangle (test_ray_triangle_inter.cpp:21-29)
+V0 = np.array([-5.0, -5.0, -10.0], np.float32)
+V1 = np.array([0.0, 5.0, -10.0], np.float32)
+V2 = np.array([5.0, -5.0, -10.0], np.float32)
+TRI = jnp.asarray(np.stack([V0, V1, V2])[None])  # (1, 3, 3)
+
+
+def _hits(dirs, tris=TRI, tmin=0.0):
+    dirs = np.atleast_2d(np.asarray(dirs, np.float32))
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = jnp.zeros((dirs.shape[0], 3), jnp.float32)
+    return intersect_closest(
+        origins, jnp.asarray(dirs), tris, tmin=tmin, det_eps=FLT_EPSILON, chunk=1
+    )
+
+
+def test_reference_case_table():
+    """testcase1: vertex/interior/outside/edge/parallel/behind/eps cases."""
+    dirs = np.array(
+        [
+            [0.0, 5.0, -10.0],     # vertex hit           -> hit
+            [0.0, 0.0, -10.0],     # interior             -> hit
+            [0.0, 20.0, -10.0],    # outside              -> miss
+            (V2 + V1) * 0.5,       # edge midpoint        -> hit
+            [5.0, 0.0, 0.0],       # parallel to plane    -> miss
+            [0.0, 0.0, 10.0],      # behind origin        -> miss
+            [0.0, -4.999, -10.0],  # just inside edge     -> hit
+            [0.0, -5.001, -10.0],  # just outside edge    -> miss
+        ],
+        np.float32,
+    )
+    expected = np.array([1, 1, 0, 1, 0, 0, 1, 0], bool)
+    h = _hits(dirs)
+    np.testing.assert_array_equal(np.asarray(h.hit), expected)
+
+
+def test_barycentric_sweep():
+    """testcase2: rays through every grid point alpha*v0+beta*v1+gamma*v2
+    (step 0.1) must all hit."""
+    # float32 accumulation exactly like the C++ loop (alpha += 0.1f).
+    # Note: run against the *reference* C++ ray_intersection, this sweep
+    # itself misses one exact-boundary point (alpha=0.4f, beta=0.6f gives
+    # u marginally above 1 in f32) — the reference suite uses non-fatal
+    # CHECKs so that slips through.  We therefore require hits at all
+    # strictly-interior points and allow boundary points (any barycentric
+    # coordinate within 1e-5 of its constraint) to go either way.
+    step = np.float32(0.1)
+    dirs, interior = [], []
+    alpha = np.float32(0.0)
+    while alpha <= np.float32(1.0):
+        beta = np.float32(0.0)
+        while beta <= np.float32(1.0) - alpha:
+            gamma = np.float32(1.0) - alpha - beta
+            dirs.append(alpha * V0 + beta * V1 + gamma * V2)
+            interior.append(
+                min(float(alpha), float(beta), float(gamma)) > 1e-5
+            )
+            beta = np.float32(beta + step)
+        alpha = np.float32(alpha + step)
+    h = _hits(np.array(dirs, np.float32))
+    hit = np.asarray(h.hit)
+    interior = np.array(interior)
+    assert hit[interior].all()
+    # and the sweep overall behaves like the reference: at most a couple
+    # of boundary misses out of ~57 points
+    assert (~hit).sum() <= 2
+
+
+def test_t_u_v_values():
+    h = _hits([0.0, 0.0, -10.0])
+    # ray hits plane z=-10 at distance 10 along -z
+    assert float(h.t[0]) == pytest.approx(10.0, rel=1e-6)
+    u, v = float(h.u[0]), float(h.v[0])
+    w = 1 - u - v
+    p = w * V0 + u * V1 + v * V2
+    np.testing.assert_allclose(p, [0, 0, -10], atol=1e-5)
+
+
+def test_closest_hit_ordering_and_ties():
+    """Two parallel triangles: nearer wins; for exact duplicates the lower
+    index wins (the reference's sequential-scan semantics)."""
+    near = np.stack([V0, V1, V2]) + np.array([0, 0, 5], np.float32)  # z=-5
+    far = np.stack([V0, V1, V2])  # z=-10
+    tris = jnp.asarray(np.stack([far, near]))
+    h = intersect_closest(
+        jnp.zeros((1, 3)), jnp.asarray([[0.0, 0.0, -1.0]]), tris,
+        tmin=0.0, det_eps=FLT_EPSILON, chunk=2,
+    )
+    assert int(h.tri_idx[0]) == 1 and float(h.t[0]) == pytest.approx(5.0)
+
+    dup = jnp.asarray(np.stack([far, far]))
+    h2 = intersect_closest(
+        jnp.zeros((1, 3)), jnp.asarray([[0.0, 0.0, -1.0]]), dup,
+        tmin=0.0, det_eps=FLT_EPSILON, chunk=1,
+    )
+    assert int(h2.tri_idx[0]) == 0
+
+
+def test_tmin_tmax_window():
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    o = jnp.zeros((1, 3))
+    assert bool(intersect_closest(o, d, TRI, tmin=0.0, tmax=9.0, chunk=1).hit[0]) is False
+    assert bool(intersect_closest(o, d, TRI, tmin=11.0, chunk=1).hit[0]) is False
+    assert bool(intersect_closest(o, d, TRI, tmin=0.0, tmax=10.5, chunk=1).hit[0]) is True
+
+
+def test_occluded_matches_closest():
+    d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, 1.0]])
+    o = jnp.zeros((2, 3))
+    blocked = occluded(o, d, TRI, tmin=0.0, tmax=100.0, chunk=1)
+    np.testing.assert_array_equal(np.asarray(blocked), [True, False])
+
+
+def test_hit_frame_modes():
+    """Normal-hygiene semantics per dialect.
+
+    The test triangle winds so that cross(e1, e2) points -z while its
+    vertex normals point +z.  A ray travelling -z (hitting the +z side):
+
+    - hw1: raw interpolated normal, +z (HW1/include/ray.h:108-110),
+    - cpuonly: the winding-based face test says back face, so the shading
+      normal is flipped to -z (CPUOnly/include/ray.h:85-91),
+    - gpu: hemisphere alignment keeps it on the against-ray side, +z
+      (query.h:117-125).
+    """
+    tris = TRI
+    normals = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (1, 3, 3))
+    o = jnp.zeros((1, 3))
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    h = intersect_closest(o, d, tris, tmin=0.0, det_eps=FLT_EPSILON, chunk=1)
+
+    expected = {"hw1": [0, 0, 1], "cpuonly": [0, 0, -1], "gpu": [0, 0, 1]}
+    for mode, exp_n in expected.items():
+        p, n, ff = make_hit_frame(o, d, h, tris, normals, mode=mode)
+        np.testing.assert_allclose(np.asarray(p[0]), [0, 0, -10], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(n[0]), exp_n, atol=1e-5)
+        assert not bool(ff[0])  # winding says this is the back face
+
+    # Ray travelling +z (hitting the -z side): winding-front face.
+    o2 = jnp.asarray([[0.0, 0.0, -20.0]])
+    d2 = jnp.asarray([[0.0, 0.0, 1.0]])
+    h2 = intersect_closest(o2, d2, tris, tmin=0.0, det_eps=FLT_EPSILON, chunk=1)
+    _, n_cpu, ff2 = make_hit_frame(o2, d2, h2, tris, normals, mode="cpuonly")
+    assert bool(ff2[0])
+    np.testing.assert_allclose(np.asarray(n_cpu[0]), [0, 0, 1], atol=1e-5)
+    # gpu flips the interpolated normal into the geometric hemisphere (-z)
+    _, n_gpu, _ = make_hit_frame(o2, d2, h2, tris, normals, mode="gpu")
+    np.testing.assert_allclose(np.asarray(n_gpu[0]), [0, 0, -1], atol=1e-5)
+
+
+def test_zero_shading_normal_fallback_gpu():
+    """GPU mode: zero vertex normals fall back to the geometric normal
+    (query.h:117-122)."""
+    normals = jnp.zeros((1, 3, 3))
+    o = jnp.zeros((1, 3))
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    h = intersect_closest(o, d, TRI, tmin=0.0, chunk=1)
+    _, n, _ = make_hit_frame(o, d, h, TRI, normals, mode="gpu")
+    np.testing.assert_allclose(np.abs(np.asarray(n[0])), [0, 0, 1], atol=1e-5)
+
+
+def test_degenerate_triangle_never_hits():
+    """Point-degenerate padding triangles must never register hits."""
+    pt = np.zeros((1, 3, 3), np.float32)
+    h = intersect_closest(
+        jnp.asarray([[0.0, 0.0, 1.0]]), jnp.asarray([[0.0, 0.0, -1.0]]),
+        jnp.asarray(pt), tmin=0.0, chunk=1,
+    )
+    assert not bool(h.hit[0])
