@@ -68,10 +68,32 @@ def trace_rays(
     geom = scene.geometry
     r = origins.shape[0]
 
+    if scene.accel is not None:
+        from .accel import block_closest, block_occluded
+
+        def closest_fn(o, d):
+            return block_closest(o, d, scene.accel, tmin=tmin, det_eps=det_eps)
+
+        def occlude_fn(o, d, s_tmin, s_tmax):
+            return block_occluded(
+                o, d, scene.accel, tmin=s_tmin, tmax=s_tmax, det_eps=det_eps
+            )
+    else:
+
+        def closest_fn(o, d):
+            return intersect_closest(o, d, geom.vertices, tmin=tmin, det_eps=det_eps)
+
+        def occlude_fn(o, d, s_tmin, s_tmax):
+            from .intersect import occluded
+
+            return occluded(
+                o, d, geom.vertices, tmin=s_tmin, tmax=s_tmax, det_eps=det_eps
+            )
+
     def bounce(carry, _):
         o, d, throughput, radiance, state, alive = carry
 
-        hits = intersect_closest(o, d, geom.vertices, tmin=tmin, det_eps=det_eps)
+        hits = closest_fn(o, d)
         found = hits.hit & alive
 
         # --- miss shading ---
@@ -92,8 +114,8 @@ def trace_rays(
 
         # --- direct lighting ---
         direct, state_direct = shading.shade_direct(
-            o, d, p, n, mat, scene.lights, geom.vertices, state,
-            dialect=scene.dialect, det_eps=det_eps,
+            o, d, p, n, mat, scene.lights, occlude_fn, state,
+            dialect=scene.dialect,
         )
         state = jnp.where(found, state_direct, state)
         radiance = radiance + jnp.where(found[:, None], throughput * direct, 0.0)

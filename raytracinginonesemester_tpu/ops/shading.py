@@ -24,7 +24,6 @@ from jax import Array
 from ..core import rng as rnglib
 from ..scene.material import Lights, MaterialTable
 from . import brdf as brdflib
-from .intersect import occluded
 
 __all__ = ["sky_gradient", "shade_hw1", "shade_direct"]
 
@@ -84,10 +83,9 @@ def _shadow_visibility_soft(
     light_pos: Array,
     light_radius: Array,
     num_samples: int,
-    vertices: Array,
+    occlude_fn,
     state: Array,
     rt_eps: float,
-    det_eps: float,
 ) -> Tuple[Array, Array]:
     """Fraction of unoccluded shadow rays toward a (possibly area) light.
 
@@ -118,14 +116,7 @@ def _shadow_visibility_soft(
         to_l = sample_pos - p
         dist = jnp.sqrt(jnp.maximum(jnp.sum(to_l * to_l, axis=-1), 1e-38))
         ldir = to_l / dist[:, None]
-        blocked = occluded(
-            p + n * rt_eps,
-            ldir,
-            vertices,
-            tmin=rt_eps,
-            tmax=dist - rt_eps,
-            det_eps=det_eps,
-        )
+        blocked = occlude_fn(p + n * rt_eps, ldir, rt_eps, dist - rt_eps)
         # Samples beyond the first only count for area lights (S==1 for
         # point lights, raytracer.h:126-127).
         active = is_area | (s == 0)
@@ -142,14 +133,18 @@ def shade_direct(
     n: Array,
     mat: MaterialTable,
     lights: Lights,
-    vertices: Array,
+    occlude_fn,
     state: Array,
     *,
     dialect: str = "gpu",
-    det_eps: float = 1e-8,
     distance_attenuation: bool = False,
 ) -> Tuple[Array, Array]:
     """Per-hit direct radiance Lo; returns (Lo (R,3), new rng state).
+
+    ``occlude_fn(origins, dirs, tmin, tmax) -> (R,) bool`` is the
+    shadow-ray primitive — brute force or an acceleration structure; the
+    caller chooses (the analog of the reference passing BVH pointers into
+    ``ShadeDirect``, shader.h:65-73).
 
     - ``dialect="gpu"``: hard shadows via an occlusion ray per light
       (``GPUandCPU/include/shader.h:65-110``), RT_EPS 1e-3 offsets but
@@ -183,19 +178,12 @@ def shade_direct(
         if gpu:
             # IsInShadow: closest hit with t < dist (shader.h:44-62);
             # traversal tmin is kRayTMin = 1e-4 (query.h:230).
-            blocked = occluded(
-                p + n_unit * rt_eps,
-                ldir,
-                vertices,
-                tmin=1e-4,
-                tmax=dist,
-                det_eps=det_eps,
-            )
+            blocked = occlude_fn(p + n_unit * rt_eps, ldir, 1e-4, dist)
             vis = jnp.where(blocked, 0.0, 1.0)
         else:
             radius = jnp.broadcast_to(lights.radius[li], dist.shape)
             vis, state = _shadow_visibility_soft(
-                p, n_unit, lpos, radius, max_s, vertices, state, rt_eps, det_eps
+                p, n_unit, lpos, radius, max_s, occlude_fn, state, rt_eps
             )
 
         f = brdflib.evaluate_brdf(mat, n_unit, view, ldir)

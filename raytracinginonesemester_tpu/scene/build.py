@@ -80,7 +80,13 @@ def geometry_from_mesh(
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Scene:
-    """Fully-built render input: geometry + materials + lights + camera."""
+    """Fully-built render input: geometry + materials + lights + camera.
+
+    ``accel`` is an optional block-culling structure (``ops.accel``); when
+    present the integrator traces through it instead of brute force — the
+    analog of the reference threading BVH pointers through its render
+    call chain (``query.cu:90-96``).
+    """
 
     geometry: Geometry
     materials: MaterialTable
@@ -95,9 +101,10 @@ class Scene:
     miss_color: Array = dataclasses.field(
         default_factory=lambda: jnp.zeros(3, dtype=jnp.float32)
     )
+    accel: object = None  # Optional[ops.accel.BlockGrid]
 
 
-def build_scene(config: SceneConfig, scene_path: str = ".") -> Scene:
+def build_scene(config: SceneConfig, scene_path: str = ".", accel: str = "blocks") -> Scene:
     """Load meshes, bake transforms, and assemble the device scene.
 
     Follows ``GPUandCPU/src/main.cu:164-190``: object ids are assigned by
@@ -138,8 +145,19 @@ def build_scene(config: SceneConfig, scene_path: str = ".") -> Scene:
         height=config.pixel_height,
     )
 
+    accel_struct = None
+    if accel == "blocks":
+        from ..ops.accel import build_block_grid
+
+        accel_struct = build_block_grid(
+            geometry.vertices, jnp.asarray(geometry.num_triangles)
+        )
+    elif accel not in (None, "none", "bruteforce"):
+        raise ValueError(f"unknown accel {accel!r}")
+
     bg_kind, bg_color = config.background
     return Scene(
+        accel=accel_struct,
         geometry=geometry,
         materials=MaterialTable.from_dicts(materials),
         lights=Lights.from_dicts(config.lights),
@@ -154,7 +172,7 @@ def build_scene(config: SceneConfig, scene_path: str = ".") -> Scene:
     )
 
 
-def load_scene(path: str, dialect: str = "auto") -> Scene:
+def load_scene(path: str, dialect: str = "auto", accel: str = "blocks") -> Scene:
     """One-call convenience: JSON path -> device Scene."""
     config = load_scene_config(path, dialect=dialect)
-    return build_scene(config, scene_path=path)
+    return build_scene(config, scene_path=path, accel=accel)
