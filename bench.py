@@ -1,0 +1,124 @@
+"""Benchmark: forward path-tracing throughput on the flagship frog scene.
+
+Prints ONE JSON line:
+  {"metric": "rays_per_s_per_chip", "value": N, "unit": "rays/s",
+   "vs_baseline": N / 5e8}
+
+The workload mirrors the reference's headline configuration
+(``GPUandCPU/assets/json_files/frog.json``: frog mesh, 1920x1080): camera
+rays/s = W*H*spp / frame_time, measured with the reference's own
+discipline — warmup pass to exclude compile cost, explicit device sync
+before stopping timers (``main.cu:361-378``, ``warmup.h:10-90``).
+``vs_baseline`` is against the BASELINE.md north-star target of 5e8
+rays/s/chip on TPU (the reference publishes no numbers of its own).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--spp", type=int, default=1)
+    ap.add_argument("--bounces", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--ray-tile", type=int, default=262144)
+    ap.add_argument("--quick", action="store_true",
+                    help="small frame for a fast sanity run")
+    ap.add_argument("--save", type=str, default=None,
+                    help="write the benchmark render to this PNG path")
+    args = ap.parse_args()
+
+    if args.quick:
+        args.width, args.height, args.iters = 320, 180, 2
+
+    import jax
+    import numpy as np
+
+    import dataclasses
+    from __graft_entry__ import _frog_scene
+    from raytracinginonesemester_tpu.render.renderer import render_scene
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    t0 = time.time()
+    scene = _frog_scene(width=args.width, height=args.height, spp=args.spp)
+    scene = dataclasses.replace(scene, max_bounces=args.bounces)
+    jax.block_until_ready(scene.accel.tri)
+    build_s = time.time() - t0
+    print(
+        f"scene build (load + accel): {build_s:.2f}s, "
+        f"{scene.geometry.num_triangles} tris, {scene.accel.num_blocks} blocks",
+        file=sys.stderr,
+    )
+
+    import jax.numpy as jnp
+    from functools import partial
+
+    render = lambda s: render_scene(s, jitter_mode="wang", ray_tile=args.ray_tile)
+
+    # NOTE: under the tunneled single-chip runtime block_until_ready can
+    # return before remote execution finishes, so timing forces a (4-byte)
+    # device->host fetch of a scalar checksum — the moral equivalent of
+    # the reference's cudaDeviceSynchronize before stopping timers
+    # (main.cu:290).  The host<->device round trip itself costs seconds
+    # through the tunnel, so the N timed frames run inside ONE device
+    # program (lax.scan over the per-frame sample index; each frame draws
+    # different sample seeds so no two iterations are identical).
+    @partial(jax.jit, static_argnames=("n",))
+    def render_frames_checksum(s, n):
+        def body(acc, i):
+            img = render_scene(
+                s, jitter_mode="wang", ray_tile=args.ray_tile,
+                spp_override=args.spp, sample_offset=i,
+            )
+            return acc + jnp.sum(img), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+        return acc
+
+    t0 = time.time()
+    checksum = float(jax.device_get(render_frames_checksum(scene, 1)))
+    warm_s = time.time() - t0
+    print(f"warmup (compile + 1 frame): {warm_s:.2f}s, checksum {checksum:.3f}",
+          file=sys.stderr)
+
+    t0 = time.time()
+    float(jax.device_get(render_frames_checksum(scene, args.iters + 1)))
+    total = time.time() - t0
+    t0 = time.time()
+    float(jax.device_get(render_frames_checksum(scene, 1)))
+    one = time.time() - t0
+    # (n+1 frames) - (1 frame) removes the fixed round-trip/dispatch cost
+    dt = max((total - one) / args.iters, 1e-9)
+    img = render(scene)
+
+    rays = args.width * args.height * args.spp
+    rays_per_s = rays / dt
+    print(
+        f"frame: {dt*1e3:.2f} ms @ {args.width}x{args.height} spp={args.spp} "
+        f"bounces={args.bounces} -> {rays_per_s:.3e} rays/s",
+        file=sys.stderr,
+    )
+
+    if args.save:
+        from raytracinginonesemester_tpu.io.image import write_png
+
+        write_png(args.save, np.asarray(img), mode="gpu")
+        print(f"saved {args.save}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "rays_per_s_per_chip",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_s / 5e8,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,19 +13,20 @@ section 7):
    block, so block AABBs are tight — this is exactly the bottom
    ``log2(block_size)`` levels of the LBVH collapsed into one node.
 
-2. **Query**: for a wavefront of rays, slab-test *all* block AABBs
-   against all rays — an (R, L) elementwise grid, perfectly regular.
-   Then visit only blocks some ray hit, in a compacted dynamic-length
-   ``while_loop``; each visit is a dense (R, block_size)
-   Moller-Trumbore — large, regular, fusible arithmetic instead of
-   pointer chasing.  The reference's per-thread stack becomes "one shared
-   worklist per wavefront"; its stack-overflow -> brute-force fallback
-   (``query.h:298-308``) corresponds to the degenerate case where every
-   block is active, which is simply... visiting every block.
+2. **Query**: slab-test all block AABBs against all rays — an (R, L)
+   elementwise grid — then visit only blocks some ray hit, in a compacted
+   dynamic-length loop; each visit is a dense (R, block_size)
+   Moller-Trumbore.  The reference's per-thread stack becomes one shared
+   worklist per wavefront; its stack-overflow -> brute-force fallback
+   (``query.h:298-311``) corresponds to every block being active, which
+   is simply visiting every block.
 
-Coherent wavefronts (primary rays, shadow rays) activate a small block
-subset; fully-incoherent wavefronts degrade to brute force over blocks —
-the same worst case the reference has.
+**Layout is the whole game on TPU.**  Vectors are stored as *component
+planes* — nine (L, B) arrays for v0/e1/e2 xyz — never as a trailing
+axis of 3: the VPU's lane dimension (128 wide) must be a real data
+dimension (triangles), or 125 of 128 lanes idle.  All intersection
+arithmetic below is unrolled per component over (R, B) tiles, the exact
+shape the 8x128 VPU wants.
 """
 
 from __future__ import annotations
@@ -40,7 +41,6 @@ from jax import Array
 
 from .intersect import F32_MAX, HitData
 from .lbvh import morton_codes, triangle_aabbs
-from .traversal import _slab_test
 
 __all__ = ["BlockGrid", "build_block_grid", "block_closest", "block_occluded"]
 
@@ -48,23 +48,22 @@ __all__ = ["BlockGrid", "build_block_grid", "block_closest", "block_occluded"]
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BlockGrid:
-    """Morton-ordered triangle blocks with per-block AABBs.
+    """Morton-ordered triangle blocks in plane-SoA layout.
 
-    ``vertices`` is (L, B, 3, 3) — triangles re-ordered by Morton code and
-    padded with point-degenerate triangles (never hit: zero edges give
-    det == 0).  ``tri_index`` maps back to original triangle ids (-1 for
-    padding).
+    ``tri`` is (9, L, B): planes [v0x v0y v0z e1x e1y e1z e2x e2y e2z]
+    (edges precomputed once at build; the reference recomputes them per
+    test, query.h:77-78).  ``aabb`` is (6, L): [min_xyz, max_xyz].
+    ``tri_index`` maps back to original triangle ids (-1 padding).
     """
 
-    vertices: Array  # (L, B, 3, 3)
-    tri_index: Array  # (L, B) int32, original triangle index or -1
-    aabb_min: Array  # (L, 3)
-    aabb_max: Array  # (L, 3)
+    tri: Array  # (9, L, B) float32
+    tri_index: Array  # (L, B) int32
+    aabb: Array  # (6, L) float32
     block_size: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def num_blocks(self) -> int:
-        return int(self.vertices.shape[0])
+        return int(self.tri.shape[1])
 
 
 @partial(jax.jit, static_argnames=("block_size",))
@@ -94,37 +93,90 @@ def build_block_grid(vertices: Array, num_valid: Array, block_size: int = 128) -
     codes = jnp.where(valid, codes, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(codes, stable=True).astype(jnp.int32)
 
-    sorted_verts = vertices[order].reshape(l, block_size, 3, 3)
+    sv = vertices[order]  # (T, 3, 3)
+    v0 = sv[:, 0]
+    e1 = sv[:, 1] - v0
+    e2 = sv[:, 2] - v0
+    tri = jnp.stack(
+        [v0[:, 0], v0[:, 1], v0[:, 2],
+         e1[:, 0], e1[:, 1], e1[:, 2],
+         e2[:, 0], e2[:, 1], e2[:, 2]]
+    ).reshape(9, l, block_size)
+
     sorted_valid = valid[order]
     tri_index = jnp.where(sorted_valid, order, -1).reshape(l, block_size)
 
     bmin = jnp.where(sorted_valid[:, None], leaf_min[order], jnp.inf)
     bmax = jnp.where(sorted_valid[:, None], leaf_max[order], -jnp.inf)
-    block_min = bmin.reshape(l, block_size, 3).min(axis=1)
+    block_min = bmin.reshape(l, block_size, 3).min(axis=1)  # (L, 3)
     block_max = bmax.reshape(l, block_size, 3).max(axis=1)
+    aabb = jnp.concatenate([block_min.T, block_max.T])  # (6, L)
 
     return BlockGrid(
-        vertices=sorted_verts,
-        tri_index=tri_index,
-        aabb_min=block_min,
-        aabb_max=block_max,
-        block_size=block_size,
+        tri=tri, tri_index=tri_index, aabb=aabb, block_size=block_size
     )
 
 
-def _block_tri_test(o, d, tris, det_eps, tmin, tmax):
-    """(R,) rays vs one block's (B, 3, 3) tris -> per-ray best within block."""
-    v0 = tris[:, 0]
-    e1c = tris[:, 1] - v0
-    e2c = tris[:, 2] - v0
-    pvec = jnp.cross(d[:, None, :], e2c[None])
-    det = jnp.sum(e1c[None] * pvec, axis=-1)
+def _slab_grid(o, inv_d, aabb, tmin, tmax):
+    """(R,) rays vs (6, L) block AABBs -> (R, L) bool, unrolled per axis.
+
+    Port of ``intersectAABB``'s slab logic (bvh.h:81-129) with IEEE inf
+    arithmetic standing in for the axis-parallel special cases.
+    """
+    ox, oy, oz = o
+    ix, iy, iz = inv_d
+    t0 = jnp.broadcast_to(tmin[:, None], (tmin.shape[0], aabb.shape[1]))
+    t1 = jnp.broadcast_to(tmax[:, None], t0.shape)
+
+    for axis, (oc, ic) in enumerate(((ox, ix), (oy, iy), (oz, iz))):
+        lo = (aabb[axis][None, :] - oc[:, None]) * ic[:, None]
+        hi = (aabb[axis + 3][None, :] - oc[:, None]) * ic[:, None]
+        near = jnp.minimum(lo, hi)
+        far = jnp.maximum(lo, hi)
+        near = jnp.where(jnp.isnan(near), -jnp.inf, near)
+        far = jnp.where(jnp.isnan(far), jnp.inf, far)
+        t0 = jnp.maximum(t0, near)
+        t1 = jnp.minimum(t1, far)
+    return t0 <= t1
+
+
+def _block_tri_test(o, d, tri_block, det_eps, tmin, tmax, ids=None):
+    """(R,) rays vs one block's (9, B) triangle planes.
+
+    Fully-unrolled Moller-Trumbore (query.h:72-132) on (R, B) tiles.
+    Returns per-ray (t, u, v, j) within the block.  When ``ids`` (the
+    global triangle index per lane) is given, ties on t resolve to the
+    smallest id — the partition-invariant equivalent of the reference's
+    sequential first-wins scan (``raytracer.h:100-117``), so results are
+    identical no matter how lanes are grouped or sharded.
+    """
+    ox, oy, oz = o
+    dx, dy, dz = d
+    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = [
+        tri_block[k][None, :] for k in range(9)
+    ]
+    rdx, rdy, rdz = dx[:, None], dy[:, None], dz[:, None]
+
+    # pvec = d x e2
+    pvx = rdy * e2z - rdz * e2y
+    pvy = rdz * e2x - rdx * e2z
+    pvz = rdx * e2y - rdy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
     inv_det = 1.0 / jnp.where(jnp.abs(det) < det_eps, 1.0, det)
-    tvec = o[:, None, :] - v0[None]
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1c[None])
-    v = jnp.sum(d[:, None, :] * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2c[None] * qvec, axis=-1) * inv_det
+
+    # tvec = o - v0
+    tvx = ox[:, None] - v0x
+    tvy = oy[:, None] - v0y
+    tvz = oz[:, None] - v0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+
+    # qvec = tvec x e1
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+
     ok = (
         (jnp.abs(det) >= det_eps)
         & (u >= 0.0) & (u <= 1.0)
@@ -132,9 +184,59 @@ def _block_tri_test(o, d, tris, det_eps, tmin, tmax):
         & (t >= tmin[:, None]) & (t <= tmax[:, None])
     )
     t = jnp.where(ok, t, F32_MAX)
-    j = jnp.argmin(t, axis=-1)
-    rows = jnp.arange(o.shape[0])
+    if ids is None:
+        j = jnp.argmin(t, axis=-1)
+    else:
+        min_t = jnp.min(t, axis=-1, keepdims=True)
+        at_min = t == min_t
+        id_key = jnp.where(at_min, ids[None, :], np.int32(2**31 - 1))
+        best_id = jnp.min(id_key, axis=-1, keepdims=True)
+        j = jnp.argmax(at_min & (id_key == best_id), axis=-1)
+    rows = jnp.arange(t.shape[0])
     return t[rows, j], u[rows, j], v[rows, j], j
+
+
+def _ray_soa(origins, dirs):
+    o = (origins[:, 0], origins[:, 1], origins[:, 2])
+    d = (dirs[:, 0], dirs[:, 1], dirs[:, 2])
+    inv = tuple(1.0 / c for c in d)
+    return o, d, inv
+
+
+# Blocks tested per loop step: one sequential-loop iteration gathers
+# GROUP blocks and tests (R, GROUP*B) at once.  Sequential loop steps on
+# TPU carry fixed scheduling overhead, so fewer/fatter steps win even
+# though the tail group tests some inactive blocks.
+GROUP = 8
+
+
+def _grouped_visits(grid: BlockGrid, hit_grid: Array):
+    """Compact active blocks to the front, padded to a GROUP multiple.
+
+    Returns (visit_order (Lp,), num_steps) where Lp = ceil(L/G)*G; the
+    order's tail repeats block 0 (harmlessly re-tested against a
+    closed best-t window).
+    """
+    l = grid.num_blocks
+    block_active = jnp.any(hit_grid, axis=0)  # (L,)
+    visit_order = jnp.argsort(~block_active, stable=True).astype(jnp.int32)
+    pad = (-l) % GROUP
+    if pad:
+        visit_order = jnp.concatenate(
+            [visit_order, jnp.zeros(pad, jnp.int32)]
+        )
+    num_active = jnp.sum(block_active.astype(jnp.int32))
+    num_steps = (num_active + GROUP - 1) // GROUP
+    return visit_order, num_steps
+
+
+def _gather_group(grid: BlockGrid, visit_order: Array, k: Array):
+    """Gather GROUP blocks' planes -> (9, GROUP*B) plus their ids."""
+    ids = jax.lax.dynamic_slice(visit_order, (k * GROUP,), (GROUP,))
+    tri = grid.tri[:, ids]  # (9, GROUP, B)
+    tri = tri.reshape(9, GROUP * grid.block_size)
+    idx = grid.tri_index[ids].reshape(GROUP * grid.block_size)
+    return tri, idx
 
 
 @partial(jax.jit, static_argnames=("det_eps",))
@@ -148,32 +250,23 @@ def block_closest(
 ) -> HitData:
     """Closest hit for a ray wavefront via block culling."""
     r = origins.shape[0]
-    l = grid.num_blocks
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
-    inv_d = 1.0 / dirs
+    o, d, inv_d = _ray_soa(origins, dirs)
 
-    # (R, L) slab grid — regular elementwise work, the TPU sweet spot
-    hit_grid = _slab_test(
-        origins[:, None, :],
-        inv_d[:, None, :],
-        grid.aabb_min[None],
-        grid.aabb_max[None],
-        tmin[:, None],
-        jnp.full((r, 1), F32_MAX),
-    )
-    block_active = jnp.any(hit_grid, axis=0)  # (L,)
-    # compact: active block ids first
-    visit_order = jnp.argsort(~block_active, stable=True).astype(jnp.int32)
-    num_active = jnp.sum(block_active.astype(jnp.int32))
+    hit_grid = _slab_grid(o, inv_d, grid.aabb, tmin, jnp.full((r,), F32_MAX))
+    visit_order, num_steps = _grouped_visits(grid, hit_grid)
 
     def body(k, carry):
         best_t, best_u, best_v, best_idx = carry
-        b = visit_order[k]
-        t, u, v, j = _block_tri_test(
-            origins, dirs, grid.vertices[b], det_eps, tmin, best_t
+        tri, ids = _gather_group(grid, visit_order, k)
+        # padding lanes carry id -1: map to INT_MAX for the tie-break key
+        key_ids = jnp.where(ids >= 0, ids, np.int32(2**31 - 1))
+        t, u, v, j = _block_tri_test(o, d, tri, det_eps, tmin, best_t, key_ids)
+        idx = ids[j]
+        best_key = jnp.where(best_idx >= 0, best_idx, np.int32(2**31 - 1))
+        take = (idx >= 0) & (t < F32_MAX) & (
+            (t < best_t) | ((t == best_t) & (idx < best_key))
         )
-        idx = grid.tri_index[b, j]
-        take = (t < best_t) & (idx >= 0)
         return (
             jnp.where(take, t, best_t),
             jnp.where(take, u, best_u),
@@ -187,9 +280,7 @@ def block_closest(
         jnp.zeros((r,), jnp.float32),
         jnp.full((r,), -1, jnp.int32),
     )
-    best_t, best_u, best_v, best_idx = jax.lax.fori_loop(
-        0, num_active, body, init
-    )
+    best_t, best_u, best_v, best_idx = jax.lax.fori_loop(0, num_steps, body, init)
     return HitData(
         t=best_t, u=best_u, v=best_v, tri_idx=best_idx, hit=best_idx >= 0
     )
@@ -210,31 +301,20 @@ def block_occluded(
     r = origins.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
-    inv_d = 1.0 / dirs
+    o, d, inv_d = _ray_soa(origins, dirs)
 
-    hit_grid = _slab_test(
-        origins[:, None, :],
-        inv_d[:, None, :],
-        grid.aabb_min[None],
-        grid.aabb_max[None],
-        tmin[:, None],
-        tmax[:, None],
-    )
-    block_active = jnp.any(hit_grid, axis=0)
-    visit_order = jnp.argsort(~block_active, stable=True).astype(jnp.int32)
-    num_active = jnp.sum(block_active.astype(jnp.int32))
+    hit_grid = _slab_grid(o, inv_d, grid.aabb, tmin, tmax)
+    visit_order, num_steps = _grouped_visits(grid, hit_grid)
 
     def cond(carry):
         k, blocked = carry
-        return (k < num_active) & ~jnp.all(blocked)
+        return (k < num_steps) & ~jnp.all(blocked)
 
     def body(carry):
         k, blocked = carry
-        b = visit_order[k]
-        t, _, _, j = _block_tri_test(
-            origins, dirs, grid.vertices[b], det_eps, tmin, tmax
-        )
-        idx = grid.tri_index[b, j]
+        tri, ids = _gather_group(grid, visit_order, k)
+        t, _, _, j = _block_tri_test(o, d, tri, det_eps, tmin, tmax)
+        idx = ids[j]
         blocked = blocked | ((t < F32_MAX) & (idx >= 0))
         return k + 1, blocked
 

@@ -32,11 +32,42 @@ from .intersect import FLT_EPSILON, intersect_closest, make_hit_frame
 __all__ = ["trace_rays"]
 
 
+def merge_hits_over_axis(hits, axis_name: str):
+    """Min-t merge of per-shard HitData across a mesh axis.
+
+    The collective analog of the reference's sequential closest-t update
+    (``query.h:254-263``) when triangle testing is sharded over devices:
+    all_gather the per-shard candidates (a few scalars per ray) and select
+    the global minimum, lowest shard winning ties.
+    """
+    from .intersect import HitData
+
+    t = jax.lax.all_gather(hits.t, axis_name)  # (S, R)
+    u = jax.lax.all_gather(hits.u, axis_name)
+    v = jax.lax.all_gather(hits.v, axis_name)
+    idx = jax.lax.all_gather(hits.tri_idx, axis_name)
+    # lexicographic (t, global tri id): partition-invariant and identical
+    # to the unsharded tie-break (smallest original index wins)
+    min_t = jnp.min(t, axis=0, keepdims=True)
+    id_key = jnp.where((t == min_t) & (idx >= 0), idx, 2**31 - 1)
+    best_id = jnp.min(id_key, axis=0, keepdims=True)
+    best = jnp.argmax((t == min_t) & (id_key == best_id), axis=0)
+    cols = jnp.arange(t.shape[1])
+    return HitData(
+        t=t[best, cols],
+        u=u[best, cols],
+        v=v[best, cols],
+        tri_idx=idx[best, cols],
+        hit=idx[best, cols] >= 0,
+    )
+
+
 def trace_rays(
     origins: Array,
     dirs: Array,
     rng_state: Array,
     scene: Scene,
+    model_axis: str | None = None,
 ) -> Array:
     """Trace a wavefront of rays to completion; returns radiance (R, 3).
 
@@ -71,24 +102,36 @@ def trace_rays(
     if scene.accel is not None:
         from .accel import block_closest, block_occluded
 
-        def closest_fn(o, d):
+        def closest_local(o, d):
             return block_closest(o, d, scene.accel, tmin=tmin, det_eps=det_eps)
 
-        def occlude_fn(o, d, s_tmin, s_tmax):
+        def occlude_local(o, d, s_tmin, s_tmax):
             return block_occluded(
                 o, d, scene.accel, tmin=s_tmin, tmax=s_tmax, det_eps=det_eps
             )
     else:
 
-        def closest_fn(o, d):
+        def closest_local(o, d):
             return intersect_closest(o, d, geom.vertices, tmin=tmin, det_eps=det_eps)
 
-        def occlude_fn(o, d, s_tmin, s_tmax):
+        def occlude_local(o, d, s_tmin, s_tmax):
             from .intersect import occluded
 
             return occluded(
                 o, d, geom.vertices, tmin=s_tmin, tmax=s_tmax, det_eps=det_eps
             )
+
+    if model_axis is None:
+        closest_fn, occlude_fn = closest_local, occlude_local
+    else:
+        # triangle testing sharded over `model_axis`: local candidates are
+        # merged by collectives (the ICI analog of cross-thread reduction)
+        def closest_fn(o, d):
+            return merge_hits_over_axis(closest_local(o, d), model_axis)
+
+        def occlude_fn(o, d, s_tmin, s_tmax):
+            local = occlude_local(o, d, s_tmin, s_tmax)
+            return jax.lax.psum(local.astype(jnp.int32), model_axis) > 0
 
     def bounce(carry, _):
         o, d, throughput, radiance, state, alive = carry
@@ -138,14 +181,25 @@ def trace_rays(
             # the GPU loop always takes the else-branch.
             take_mirror = take_mirror & (kr > 0.0)
 
-        # diffuse branch: hemisphere sample consumes RNG only where taken
-        state_h, hemi = rnglib.random_on_hemisphere(n_unit, state)
-        state = jnp.where(take_diffuse, state_h, state)
-        ndotl = jnp.maximum(jnp.sum(n_unit * hemi, axis=-1), 0.0)
-        if gpu:
-            diff_tp = mat.albedo * (2.0 * ndotl)[:, None]
+        if diffuse_bounce:
+            # diffuse branch: hemisphere sample consumes RNG only where
+            # taken.  stop_gradient on the normal keeps the rejection
+            # while_loop out of reverse-mode autodiff (sample directions
+            # are treated as constants, the standard score-free estimator).
+            state_h, hemi = rnglib.random_on_hemisphere(
+                jax.lax.stop_gradient(n_unit), state
+            )
+            state = jnp.where(take_diffuse, state_h, state)
+            ndotl = jnp.maximum(jnp.sum(n_unit * hemi, axis=-1), 0.0)
+            if gpu:
+                diff_tp = mat.albedo * (2.0 * ndotl)[:, None]
+            else:
+                diff_tp = mat.albedo * (total * 2.0 * ndotl)[:, None]
         else:
-            diff_tp = mat.albedo * (total * 2.0 * ndotl)[:, None]
+            # statically mirror-only: no sampling ops in the graph at all,
+            # keeping the integrator reverse-differentiable
+            hemi = n_unit
+            diff_tp = jnp.ones_like(mat.albedo)
 
         # mirror branch: GPU uses kr * tint (query.h:202-205); CPUOnly uses
         # (diffuse_bounce ? total : kr) * tint (raytracer.h:249-255)

@@ -66,12 +66,76 @@ def _tile_map(fn, args, num_rays: int, tile: int):
     return out
 
 
+def resolve_jitter_mode(scene: Scene, jitter_mode: str, spp: int) -> str:
+    if jitter_mode != "auto":
+        return jitter_mode
+    gpu = scene.dialect == "gpu"
+    return "wang" if (gpu or spp > 1) else "center"
+
+
+def accumulate_samples(
+    scene: Scene,
+    xs: Array,
+    ys: Array,
+    spp: int,
+    jitter_mode: str,
+    ray_tile: int = DEFAULT_RAY_TILE,
+    sample_offset: Array | int = 0,
+) -> Array:
+    """Sum of per-sample radiance for the given pixel-index arrays.
+
+    The shard-friendly core: callers hand it any subset of pixels (whole
+    image, a device's shard, a tile), it returns the un-normalized (N, 3)
+    accumulator.  Seeding is by absolute (x, y, sample)
+    (``make_rng_seed``, query.h:44-48), so any partitioning of the pixel
+    set produces identical radiance — resharding never changes the image.
+    """
+    cam = scene.camera
+    num_rays = xs.shape[0]
+
+    host_offsets = None
+    if jitter_mode == "reference_cpu":
+        host_offsets = jnp.asarray(rnglib.jittered_samples(spp, 42, centered=True))
+
+    def one_sample(s: Array) -> Array:
+        s = s + sample_offset  # distinct seed stream per frame in benches
+        if jitter_mode == "wang":
+            jx, jy = rnglib.pixel_jitter(xs, ys, s)
+        elif jitter_mode == "reference_cpu":
+            jx = jnp.broadcast_to(host_offsets[jnp.minimum(s, spp - 1), 0], xs.shape)
+            jy = jnp.broadcast_to(host_offsets[jnp.minimum(s, spp - 1), 1], ys.shape)
+        elif jitter_mode == "center":
+            jx = jnp.full(xs.shape, 0.5, jnp.float32)
+            jy = jnp.full(ys.shape, 0.5, jnp.float32)
+        else:
+            raise ValueError(f"unknown jitter_mode {jitter_mode!r}")
+
+        px = xs.astype(jnp.float32) + jx
+        py = ys.astype(jnp.float32) + jy
+        origins, dirs = cam.get_rays(px, py)
+        seeds = rnglib.make_rng_seed(xs, ys, s)
+
+        def tile_fn(args):
+            o, d, st = args
+            return trace_rays(o, d, st, scene)
+
+        return _tile_map(tile_fn, (origins, dirs, seeds), num_rays, ray_tile)
+
+    accum, _ = jax.lax.scan(
+        lambda acc, s: (acc + one_sample(s), None),
+        jnp.zeros((num_rays, 3), jnp.float32),
+        jnp.arange(spp, dtype=jnp.int32),
+    )
+    return accum
+
+
 @partial(jax.jit, static_argnames=("jitter_mode", "ray_tile", "spp_override"))
 def render_scene(
     scene: Scene,
     jitter_mode: str = "auto",
     ray_tile: int = DEFAULT_RAY_TILE,
     spp_override: Optional[int] = None,
+    sample_offset: Array | int = 0,
 ) -> Array:
     """Render a built scene to a linear (H, W, 3) float32 image.
 
@@ -93,53 +157,11 @@ def render_scene(
     device sharding.
     """
     spp = spp_override if spp_override is not None else scene.spp
-    cam = scene.camera
-    w, h = cam.width, cam.height
+    w, h = scene.camera.width, scene.camera.height
     xs, ys = _pixel_grid(w, h)
-    num_rays = w * h
-    gpu = scene.dialect == "gpu"
-
-    if jitter_mode == "auto":
-        jitter_mode = "wang" if (gpu or spp > 1) else "center"
-
-    host_offsets = None
-    if jitter_mode == "reference_cpu":
-        host_offsets = jnp.asarray(rnglib.jittered_samples(spp, 42, centered=True))
-
-    def one_sample(s: Array) -> Array:
-        if jitter_mode == "wang":
-            jx, jy = rnglib.pixel_jitter(xs, ys, s)
-        elif jitter_mode == "reference_cpu":
-            jx = jnp.broadcast_to(host_offsets[s, 0], xs.shape)
-            jy = jnp.broadcast_to(host_offsets[s, 1], ys.shape)
-        elif jitter_mode == "center":
-            # CPUOnly convention: +0.5 from the pixel00 grid point
-            jx = jnp.full(xs.shape, 0.5, jnp.float32)
-            jy = jnp.full(ys.shape, 0.5, jnp.float32)
-        else:
-            raise ValueError(f"unknown jitter_mode {jitter_mode!r}")
-
-        px = xs.astype(jnp.float32) + jx
-        py = ys.astype(jnp.float32) + jy
-        origins, dirs = cam.get_rays(px, py)
-        seeds = rnglib.make_rng_seed(xs, ys, s)
-
-        def tile_fn(args):
-            o, d, st = args
-            return trace_rays(o, d, st, scene)
-
-        return _tile_map(tile_fn, (origins, dirs, seeds), num_rays, ray_tile)
-
-    def sample_body(accum, s):
-        return accum + one_sample(s), None
-
-    accum, _ = jax.lax.scan(
-        sample_body,
-        jnp.zeros((num_rays, 3), jnp.float32),
-        jnp.arange(spp, dtype=jnp.int32),
-    )
-    image = accum / float(spp)
-    return image.reshape(h, w, 3)
+    jitter_mode = resolve_jitter_mode(scene, jitter_mode, spp)
+    accum = accumulate_samples(scene, xs, ys, spp, jitter_mode, ray_tile)
+    return (accum / float(spp)).reshape(h, w, 3)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "ray_tile"))

@@ -24,10 +24,29 @@ import pytest
 
 import jax
 
+# The axon sitecustomize may have eagerly initialized backends (on the
+# remote-TPU platform, ignoring the env we just set).  Re-pin the platform
+# and drop any already-created clients so the CPU backend is rebuilt with
+# our XLA_FLAGS (8 virtual devices for sharding tests).
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax._src import xla_bridge as _xb
+
+    if _xb._backends:
+        _xb.backends.cache_clear() if hasattr(_xb.backends, "cache_clear") else None
+        _xb._clear_backends()
+except Exception:
+    pass
+
 # Persistent compile cache: keeps repeat test runs fast despite the
 # environment's variable first-compile latency.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+assert jax.device_count() >= 8, (
+    f"expected 8 virtual CPU devices, got {jax.devices()} — backend was "
+    "initialized before conftest could configure it"
+)
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 REFERENCE = pathlib.Path("/root/reference")
