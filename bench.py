@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--ray-tile", type=int, default=262144)
     ap.add_argument("--quick", action="store_true",
                     help="small frame for a fast sanity run")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="use the XLA block path instead of Pallas kernels")
     ap.add_argument("--save", type=str, default=None,
                     help="write the benchmark render to this PNG path")
     args = ap.parse_args()
@@ -48,7 +50,9 @@ def main():
 
     t0 = time.time()
     scene = _frog_scene(width=args.width, height=args.height, spp=args.spp)
-    scene = dataclasses.replace(scene, max_bounces=args.bounces)
+    scene = dataclasses.replace(
+        scene, max_bounces=args.bounces, use_pallas=not args.no_pallas
+    )
     jax.block_until_ready(scene.accel.tri)
     build_s = time.time() - t0
     print(

@@ -117,11 +117,13 @@ def build_block_grid(vertices: Array, num_valid: Array, block_size: int = 128) -
     )
 
 
-def _slab_grid(o, inv_d, aabb, tmin, tmax):
-    """(R,) rays vs (6, L) block AABBs -> (R, L) bool, unrolled per axis.
+def _slab_entry(o, inv_d, aabb, tmin, tmax):
+    """(R,) rays vs (6, L) block AABBs -> ((R, L) hit, (R, L) entry t).
 
     Port of ``intersectAABB``'s slab logic (bvh.h:81-129) with IEEE inf
-    arithmetic standing in for the axis-parallel special cases.
+    arithmetic standing in for the axis-parallel special cases; also
+    returns the clamped slab entry distance used for front-to-back
+    traversal ordering.
     """
     ox, oy, oz = o
     ix, iy, iz = inv_d
@@ -134,10 +136,16 @@ def _slab_grid(o, inv_d, aabb, tmin, tmax):
         near = jnp.minimum(lo, hi)
         far = jnp.maximum(lo, hi)
         near = jnp.where(jnp.isnan(near), -jnp.inf, near)
-        far = jnp.where(jnp.isnan(far), jnp.inf, far)
+        # robust far-plane stretch (Ize 2013): culling must stay
+        # conservative under f32 rounding — false positives only
+        far = jnp.where(jnp.isnan(far), jnp.inf, far * 1.0000004)
         t0 = jnp.maximum(t0, near)
         t1 = jnp.minimum(t1, far)
-    return t0 <= t1
+    return t0 <= t1, t0
+
+
+def _slab_grid(o, inv_d, aabb, tmin, tmax):
+    return _slab_entry(o, inv_d, aabb, tmin, tmax)[0]
 
 
 def _block_tri_test(o, d, tri_block, det_eps, tmin, tmax, ids=None):
@@ -187,6 +195,8 @@ def _block_tri_test(o, d, tri_block, det_eps, tmin, tmax, ids=None):
     if ids is None:
         j = jnp.argmin(t, axis=-1)
     else:
+        # padding lanes arrive with id INT_MAX — they must not win the min
+        t = jnp.where(ids[None, :] == np.int32(2**31 - 1), F32_MAX, t)
         min_t = jnp.min(t, axis=-1, keepdims=True)
         at_min = t == min_t
         id_key = jnp.where(at_min, ids[None, :], np.int32(2**31 - 1))
@@ -237,6 +247,36 @@ def _gather_group(grid: BlockGrid, visit_order: Array, k: Array):
     tri = tri.reshape(9, GROUP * grid.block_size)
     idx = grid.tri_index[ids].reshape(GROUP * grid.block_size)
     return tri, idx
+
+
+def tile_visit_plan(origins, dirs, grid: BlockGrid, tmin, tmax, ray_tile: int):
+    """Front-to-back per-tile traversal plan for the Pallas kernels.
+
+    For each tile of ``ray_tile`` rays (callers arrange tiles to be
+    spatially coherent): which blocks any tile ray's slab test hits, in
+    ascending order of the tile's closest slab-entry distance.  Sorted
+    entries let the kernel stop as soon as the next block begins beyond
+    every ray's current best hit — the wavefront analog of ordered BVH
+    descent with closest-t pruning (``query.h:251-263``).
+
+    origins/dirs must already be padded to a ray_tile multiple.  Returns
+    (order (NT, L) int32, sorted_entry (NT, L) f32, count (NT, 1) int32).
+    """
+    r = origins.shape[0]
+    assert r % ray_tile == 0
+    nt = r // ray_tile
+    o, d, inv_d = _ray_soa(origins, dirs)
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+    hit, entry = _slab_entry(o, inv_d, grid.aabb, tmin, tmax)
+    l = grid.num_blocks
+    entry = jnp.where(hit, entry, jnp.inf).reshape(nt, ray_tile, l)
+    entry_tile = jnp.min(entry, axis=1)  # (NT, L)
+    active = jnp.any(hit.reshape(nt, ray_tile, l), axis=1)
+    count = jnp.sum(active.astype(jnp.int32), axis=1, keepdims=True)
+    order = jnp.argsort(entry_tile, axis=1).astype(jnp.int32)
+    sorted_entry = jnp.take_along_axis(entry_tile, order, axis=1).astype(jnp.float32)
+    return order, sorted_entry, count
 
 
 @partial(jax.jit, static_argnames=("det_eps",))

@@ -99,7 +99,22 @@ def trace_rays(
     geom = scene.geometry
     r = origins.shape[0]
 
-    if scene.accel is not None:
+    if scene.accel is not None and scene.use_pallas:
+        from .pallas_kernels import pallas_block_closest, pallas_block_occluded
+
+        interp = jax.default_backend() != "tpu"  # interpret off-TPU
+
+        def closest_local(o, d):
+            return pallas_block_closest(
+                o, d, scene.accel, tmin=tmin, det_eps=det_eps, interpret=interp
+            )
+
+        def occlude_local(o, d, s_tmin, s_tmax):
+            return pallas_block_occluded(
+                o, d, scene.accel, tmin=s_tmin, tmax=s_tmax,
+                det_eps=det_eps, interpret=interp,
+            )
+    elif scene.accel is not None:
         from .accel import block_closest, block_occluded
 
         def closest_local(o, d):
@@ -135,6 +150,10 @@ def trace_rays(
 
     def bounce(carry, _):
         o, d, throughput, radiance, state, alive = carry
+
+        # park dead rays at an unreachable origin: every slab test misses,
+        # so finished lanes cost the traversal kernels nothing
+        o = jnp.where(alive[:, None], o, 1e30)
 
         hits = closest_fn(o, d)
         found = hits.hit & alive

@@ -1,0 +1,320 @@
+"""Pallas TPU kernels for the hot ray-tracing ops.
+
+The XLA block-culling path (``ops.accel``) pays a fixed scheduling cost
+per sequential block step and re-streams ray data from HBM every step.
+These kernels fuse the whole per-wavefront traversal into one Mosaic
+kernel per ray tile, with an *ordered* worklist:
+
+1. an XLA pre-pass (``accel.tile_visit_plan``) slab-tests every block
+   against every ray and, per ray tile, sorts the surviving blocks by
+   closest slab-entry distance — front-to-back traversal order;
+2. the kernel walks that order in an in-kernel ``while_loop``, running a
+   dense (RAY_TILE, B) Moller-Trumbore per block, and **stops early**
+   once the next block's entry distance exceeds every ray's current
+   best hit — the wavefront analog of ordered BVH descent with
+   closest-t pruning (``query.h:251-263``).
+
+Combined with spatially-coherent ray tiles (the renderer's 16x16 pixel
+swizzle), primary/shadow wavefronts touch a handful of blocks instead of
+the whole scene.  This is the TPU equivalent of ``renderBatchCUDA``
+(``query.cu:12-66``): one fused kernel per wavefront, per-thread
+running-best state, acceleration structure shared by all lanes.
+
+Layout rules (everything 2D for Mosaic):
+
+- rays arrive as (R, 8) [ox oy oz dx dy dz tmin tmax]; a program's tile
+  is (RAY_TILE, 8) and each component column reads as (RAY_TILE, 1);
+- triangle planes are (9*L, B): row k*L+b holds plane k of block b, so a
+  block slice is a native (1, B) row read — sublanes = rays,
+  lanes = triangles, the 8x128 VPU shape;
+- per-ray outputs are (R, 1) columns.
+
+VMEM budget: planes cost 36 B/triangle, so scenes to ~280k triangles fit
+comfortably; callers fall back to the XLA path beyond ``fits_vmem``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect import F32_MAX, HitData
+from .accel import BlockGrid, tile_visit_plan
+
+__all__ = ["fits_vmem", "pallas_block_closest", "pallas_block_occluded", "RAY_TILE"]
+
+RAY_TILE = 256
+_INT_MAX = np.int32(2**31 - 1)
+
+# leave headroom for ray tiles, scratch and double buffers
+_VMEM_TRI_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def fits_vmem(grid: BlockGrid) -> bool:
+    l, b = grid.tri_index.shape
+    return (9 * l * b * 4 + 8 * l * 4 + l * b * 4) < _VMEM_TRI_BUDGET_BYTES
+
+
+def _mt_block(o, d, tri, det_eps, tmin, tmax):
+    """(RAY_TILE, 1) ray components vs (1, B) triangle planes.
+
+    Unrolled Moller-Trumbore (query.h:72-132); returns (t, u, v) as
+    (RAY_TILE, B) with misses at F32_MAX.
+    """
+    ox, oy, oz = o
+    dx, dy, dz = d
+    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = tri
+
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < det_eps, 1.0, det)
+
+    tvx = ox - v0x
+    tvy = oy - v0y
+    tvz = oz - v0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+
+    ok = (
+        (jnp.abs(det) >= det_eps)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t >= tmin) & (t <= tmax)
+    )
+    return jnp.where(ok, t, F32_MAX), u, v
+
+
+def _load_rays(rays_ref):
+    o = tuple(rays_ref[:, k].reshape(-1, 1) for k in range(3))
+    d = tuple(rays_ref[:, k].reshape(-1, 1) for k in range(3, 6))
+    tmin = rays_ref[:, 6].reshape(-1, 1)
+    tmax = rays_ref[:, 7].reshape(-1, 1)
+    return o, d, tmin, tmax
+
+
+def _closest_kernel(det_eps, num_blocks, block_size,
+                    rays_ref, tri_ref, ids_ref, order_ref, entry_ref,
+                    t_out, u_out, v_out, idx_out):
+    o, d, tmin, _ = _load_rays(rays_ref)
+    rt = t_out.shape[0]
+
+    t_out[:] = jnp.full((rt, 1), F32_MAX, jnp.float32)
+    u_out[:] = jnp.zeros((rt, 1), jnp.float32)
+    v_out[:] = jnp.zeros((rt, 1), jnp.float32)
+    idx_out[:] = jnp.full((rt, 1), -1, jnp.int32)
+
+    # plan rows come in groups of 8 sublanes; ours is program_id % 8
+    row = jax.lax.rem(pl.program_id(0), 8)
+
+    def cond(k):
+        # stop once the next block starts beyond every ray's best hit —
+        # entries are sorted ascending with inf marking inactive blocks,
+        # so the entry test doubles as the active-count bound
+        in_range = k < num_blocks
+        next_entry = entry_ref[row, jnp.minimum(k, num_blocks - 1)]
+        return in_range & (next_entry <= jnp.max(t_out[:]))
+
+    def body(k):
+        b = order_ref[row, k]
+        tri = tuple(
+            tri_ref[pl.ds(k_ * num_blocks + b, 1), :] for k_ in range(9)
+        )
+        ids = ids_ref[pl.ds(b, 1), :]  # (1, B)
+        t, u, v = _mt_block(o, d, tri, det_eps, tmin, t_out[:])
+        t = jnp.where(ids >= 0, t, F32_MAX)
+        min_t = jnp.min(t, axis=1, keepdims=True)
+        # (t, id) lexicographic tie-break, matching accel.block_closest;
+        # scene triangle ids are unique so `pick` has <=1 lane per row
+        at_min = t == min_t
+        id_key = jnp.where(at_min & (ids >= 0), ids, _INT_MAX)
+        best_id = jnp.min(id_key, axis=1, keepdims=True)
+        pick = at_min & (id_key == best_id)
+        sel_u = jnp.sum(jnp.where(pick, u, 0.0), axis=1, keepdims=True)
+        sel_v = jnp.sum(jnp.where(pick, v, 0.0), axis=1, keepdims=True)
+
+        old_t = t_out[:]
+        old_idx = idx_out[:]
+        old_key = jnp.where(old_idx >= 0, old_idx, _INT_MAX)
+        take = (min_t < F32_MAX) & (
+            (min_t < old_t) | ((min_t == old_t) & (best_id < old_key))
+        )
+        t_out[:] = jnp.where(take, min_t, old_t)
+        u_out[:] = jnp.where(take, sel_u, u_out[:])
+        v_out[:] = jnp.where(take, sel_v, v_out[:])
+        idx_out[:] = jnp.where(take, best_id, old_idx)
+        return k + 1
+
+    jax.lax.while_loop(cond, body, jnp.int32(0))
+
+
+def _pad_plan_rows(order, entry):
+    """Pad the plan's tile axis to a multiple of 8 (Mosaic sublane floor)."""
+    nt = order.shape[0]
+    pad = (-nt) % 8
+    if pad:
+        order = jnp.pad(order, ((0, pad), (0, 0)))
+        entry = jnp.pad(entry, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    return order, entry
+
+
+def _prep_rays(origins, dirs, tmin, tmax):
+    r = origins.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+    rays = jnp.stack([
+        origins[:, 0], origins[:, 1], origins[:, 2],
+        dirs[:, 0], dirs[:, 1], dirs[:, 2],
+        tmin, tmax,
+    ], axis=1)  # (R, 8)
+    pad = (-r) % RAY_TILE
+    if pad:
+        # padded rays point nowhere: infinite origin makes every slab
+        # entry inf, so they never appear in any tile's visit plan
+        filler = jnp.full((pad, 8), 1.0, jnp.float32).at[:, 0:3].set(1e30)
+        rays = jnp.concatenate([rays, filler])
+    return rays, r + pad
+
+
+@partial(jax.jit, static_argnames=("det_eps", "interpret"))
+def pallas_block_closest(
+    origins: Array,
+    dirs: Array,
+    grid: BlockGrid,
+    tmin=1e-4,
+    *,
+    det_eps: float = 1e-8,
+    interpret: bool = False,
+) -> HitData:
+    """Closest hit via the fused, front-to-back Pallas traversal kernel.
+
+    Semantics identical to ``accel.block_closest`` (same tie-break);
+    tests assert hit/triangle equality between the two.
+    """
+    r = origins.shape[0]
+    l, b = grid.tri_index.shape
+    rays, rp = _prep_rays(origins, dirs, tmin, F32_MAX)
+    order, entry, _ = tile_visit_plan(
+        rays[:, 0:3], rays[:, 3:6], grid, rays[:, 6], rays[:, 7], RAY_TILE
+    )
+    order, entry = _pad_plan_rows(order, entry)
+    tri_rows = grid.tri.reshape(9 * l, b)
+
+    grid_spec = pl.GridSpec(
+        grid=(rp // RAY_TILE,),
+        in_specs=[
+            pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows (9L, B)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ids (L, B)
+            # plan rows in groups of 8 sublanes (Mosaic tiling floor);
+            # the kernel picks row program_id % 8.  SMEM because the
+            # kernel reads them with dynamic scalar indices.
+            pl.BlockSpec((8, l), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, l), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    t, u, v, idx = pl.pallas_call(
+        partial(_closest_kernel, det_eps, l, b),
+        out_shape=[
+            jax.ShapeDtypeStruct((rp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rp, 1), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rays, tri_rows, grid.tri_index, order, entry)
+
+    t, u, v, idx = t[:r, 0], u[:r, 0], v[:r, 0], idx[:r, 0]
+    return HitData(t=t, u=u, v=v, tri_idx=idx, hit=idx >= 0)
+
+
+def _occluded_kernel(det_eps, num_blocks, block_size,
+                     rays_ref, tri_ref, ids_ref, order_ref, entry_ref,
+                     out_ref):
+    o, d, tmin, tmax = _load_rays(rays_ref)
+    rt = out_ref.shape[0]
+    out_ref[:] = jnp.zeros((rt, 1), jnp.int32)
+    row = jax.lax.rem(pl.program_id(0), 8)
+
+    def cond(k):
+        in_range = k < num_blocks
+        next_entry = entry_ref[row, jnp.minimum(k, num_blocks - 1)]
+        return in_range & (next_entry < jnp.inf) & jnp.any(out_ref[:] == 0)
+
+    def body(k):
+        b = order_ref[row, k]
+        tri = tuple(
+            tri_ref[pl.ds(k_ * num_blocks + b, 1), :] for k_ in range(9)
+        )
+        ids = ids_ref[pl.ds(b, 1), :]
+        t, _, _ = _mt_block(o, d, tri, det_eps, tmin, tmax)
+        t = jnp.where(ids >= 0, t, F32_MAX)
+        hit = jnp.any(t < F32_MAX, axis=1, keepdims=True)
+        out_ref[:] = jnp.maximum(out_ref[:], hit.astype(jnp.int32))
+        return k + 1
+
+    jax.lax.while_loop(cond, body, jnp.int32(0))
+
+
+@partial(jax.jit, static_argnames=("det_eps", "interpret"))
+def pallas_block_occluded(
+    origins: Array,
+    dirs: Array,
+    grid: BlockGrid,
+    tmin=1e-4,
+    tmax=F32_MAX,
+    *,
+    det_eps: float = 1e-8,
+    interpret: bool = False,
+) -> Array:
+    """Any-hit occlusion via the fused Pallas kernel (near blockers
+    first thanks to the sorted plan, so most tiles resolve in one or two
+    block visits)."""
+    r = origins.shape[0]
+    l, b = grid.tri_index.shape
+    rays, rp = _prep_rays(origins, dirs, tmin, tmax)
+    order, entry, _ = tile_visit_plan(
+        rays[:, 0:3], rays[:, 3:6], grid, rays[:, 6], rays[:, 7], RAY_TILE
+    )
+    order, entry = _pad_plan_rows(order, entry)
+    tri_rows = grid.tri.reshape(9 * l, b)
+
+    grid_spec = pl.GridSpec(
+        grid=(rp // RAY_TILE,),
+        in_specs=[
+            pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, l), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, l), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    (blocked,) = pl.pallas_call(
+        partial(_occluded_kernel, det_eps, l, b),
+        out_shape=[jax.ShapeDtypeStruct((rp, 1), jnp.int32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rays, tri_rows, grid.tri_index, order, entry)
+    return blocked[:r, 0] > 0

@@ -50,7 +50,10 @@ def _slab_test(o: Array, inv_d: Array, box_min: Array, box_max: Array,
     # NaN (0 * inf) -> treat that axis as pass-through, like the
     # reference's |dir| < eps branch checking origin within slab
     t_near = jnp.where(jnp.isnan(t_near), -jnp.inf, t_near)
-    t_far = jnp.where(jnp.isnan(t_far), jnp.inf, t_far)
+    # Robust-traversal far-plane stretch (Ize 2013): rounding in the two
+    # multiplies can shrink the interval past a tangent hit; scaling
+    # t_far by 1+4ulp keeps the test conservative (false positives only).
+    t_far = jnp.where(jnp.isnan(t_far), jnp.inf, t_far * 1.0000004)
     t0 = jnp.maximum(jnp.max(t_near, axis=-1), tmin)
     t1_ = jnp.minimum(jnp.min(t_far, axis=-1), tmax)
     return t0 <= t1_

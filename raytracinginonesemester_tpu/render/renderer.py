@@ -45,6 +45,29 @@ def _pixel_grid(width: int, height: int):
     return xs.reshape(-1), ys.reshape(-1)
 
 
+def _swizzled_grid(width: int, height: int, tile: int = 16):
+    """Pixel indices in tile-major (16x16) order + inverse permutation.
+
+    Spatially-coherent ray tiles are what make the traversal kernels'
+    per-tile culling effective — the TPU analog of the reference's 16x16
+    CUDA thread blocks (``buffers.h:6-7``, ``query.cu:31-33``).  Because
+    RNG seeds derive from absolute (x, y), any pixel order produces the
+    identical image; the inverse permutation restores scanline order.
+    """
+    ys, xs = np.mgrid[0:height, 0:width]
+    tiles_x = -(-width // tile)
+    tile_id = (ys // tile) * tiles_x + (xs // tile)
+    within = (ys % tile) * tile + (xs % tile)
+    key = tile_id.astype(np.int64) * (tile * tile) + within
+    order = np.argsort(key.ravel(), kind="stable")
+    inv = np.argsort(order, kind="stable")
+    return (
+        jnp.asarray(xs.ravel()[order], jnp.int32),
+        jnp.asarray(ys.ravel()[order], jnp.int32),
+        jnp.asarray(inv, jnp.int32),
+    )
+
+
 def _tile_map(fn, args, num_rays: int, tile: int):
     """Apply ``fn`` over fixed-size ray tiles; pads the tail tile.
 
@@ -158,9 +181,12 @@ def render_scene(
     """
     spp = spp_override if spp_override is not None else scene.spp
     w, h = scene.camera.width, scene.camera.height
-    xs, ys = _pixel_grid(w, h)
+    xs, ys, inv = _swizzled_grid(w, h)
     jitter_mode = resolve_jitter_mode(scene, jitter_mode, spp)
-    accum = accumulate_samples(scene, xs, ys, spp, jitter_mode, ray_tile)
+    accum = accumulate_samples(
+        scene, xs, ys, spp, jitter_mode, ray_tile, sample_offset=sample_offset
+    )
+    accum = accum[inv]  # back to scanline order
     return (accum / float(spp)).reshape(h, w, 3)
 
 

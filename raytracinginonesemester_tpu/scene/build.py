@@ -102,6 +102,8 @@ class Scene:
         default_factory=lambda: jnp.zeros(3, dtype=jnp.float32)
     )
     accel: object = None  # Optional[ops.accel.BlockGrid]
+    # trace through the fused Pallas kernels instead of the XLA block path
+    use_pallas: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
 
 def build_scene(config: SceneConfig, scene_path: str = ".", accel: str = "blocks") -> Scene:

@@ -1,0 +1,71 @@
+"""Pallas kernel equivalence tests (interpret mode on CPU).
+
+The analog of the reference's single-source CPU/GPU duality
+(``GPUandCPU/CMakeLists.txt:35-51``): the fused kernel must agree with
+the XLA block path, which in turn is tested against brute force.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from raytracinginonesemester_tpu.ops.accel import (
+    block_closest,
+    block_occluded,
+    build_block_grid,
+)
+from raytracinginonesemester_tpu.ops.pallas_kernels import (
+    fits_vmem,
+    pallas_block_closest,
+    pallas_block_occluded,
+)
+
+
+@pytest.fixture(scope="module")
+def grid_and_rays():
+    rs = np.random.RandomState(0)
+    tris = jnp.asarray(
+        (rs.uniform(-4, 4, (1024, 1, 3)) + rs.uniform(-0.4, 0.4, (1024, 3, 3)))
+        .astype(np.float32)
+    )
+    grid = build_block_grid(tris, jnp.asarray(1000), block_size=128)
+    o = jnp.asarray(rs.uniform(-6, 6, (300, 3)).astype(np.float32))
+    d = rs.normal(size=(300, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return grid, o, jnp.asarray(d)
+
+
+def test_fits_vmem(grid_and_rays):
+    grid, _, _ = grid_and_rays
+    assert fits_vmem(grid)
+
+
+def test_closest_matches_xla(grid_and_rays):
+    grid, o, d = grid_and_rays
+    ha = block_closest(o, d, grid, tmin=1e-4)
+    hp = pallas_block_closest(o, d, grid, tmin=1e-4, interpret=True)
+    # hit set and winning triangles identical; t may differ by fusion
+    # rounding ulps between the two compilations
+    np.testing.assert_array_equal(np.asarray(ha.hit), np.asarray(hp.hit))
+    np.testing.assert_array_equal(np.asarray(ha.tri_idx), np.asarray(hp.tri_idx))
+    np.testing.assert_allclose(np.asarray(ha.t), np.asarray(hp.t), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ha.u), np.asarray(hp.u), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ha.v), np.asarray(hp.v), rtol=1e-5, atol=1e-6)
+
+
+def test_occluded_matches_xla(grid_and_rays):
+    grid, o, d = grid_and_rays
+    ba = block_occluded(o, d, grid, tmin=1e-4, tmax=4.0)
+    bp = pallas_block_occluded(o, d, grid, tmin=1e-4, tmax=4.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ba), np.asarray(bp))
+
+
+def test_ray_padding(grid_and_rays):
+    """Ray counts not divisible by RAY_TILE are padded and unpadded."""
+    grid, o, d = grid_and_rays
+    h_all = pallas_block_closest(o, d, grid, interpret=True)
+    h_sub = pallas_block_closest(o[:37], d[:37], grid, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(h_all.tri_idx)[:37], np.asarray(h_sub.tri_idx)
+    )
