@@ -41,6 +41,12 @@ def main():
     import jax
     import numpy as np
 
+    # persistent executable cache: repeated bench runs of unchanged code
+    # skip the (minutes-long) remote compile when the runtime supports
+    # executable serialization
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import dataclasses
     from __graft_entry__ import _frog_scene
     from raytracinginonesemester_tpu.render.renderer import render_scene
@@ -62,44 +68,35 @@ def main():
     )
 
     import jax.numpy as jnp
-    from functools import partial
 
     render = lambda s: render_scene(s, jitter_mode="wang", ray_tile=args.ray_tile)
 
     # NOTE: under the tunneled single-chip runtime block_until_ready can
-    # return before remote execution finishes, so timing forces a (4-byte)
-    # device->host fetch of a scalar checksum — the moral equivalent of
-    # the reference's cudaDeviceSynchronize before stopping timers
-    # (main.cu:290).  The host<->device round trip itself costs seconds
-    # through the tunnel, so the N timed frames run inside ONE device
-    # program (lax.scan over the per-frame sample index; each frame draws
-    # different sample seeds so no two iterations are identical).
-    @partial(jax.jit, static_argnames=("n",))
-    def render_frames_checksum(s, n):
-        def body(acc, i):
-            img = render_scene(
-                s, jitter_mode="wang", ray_tile=args.ray_tile,
-                spp_override=args.spp, sample_offset=i,
-            )
-            return acc + jnp.sum(img), None
-
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
-        return acc
+    # return before remote execution finishes, so every timed frame is
+    # synced by fetching a (4-byte) scalar checksum — the moral
+    # equivalent of the reference's cudaDeviceSynchronize before stopping
+    # timers (main.cu:290).  Each frame renders a different sample index
+    # so no two dispatches are identical.
+    @jax.jit
+    def frame_checksum(s, off):
+        img = render_scene(
+            s, jitter_mode="wang", ray_tile=args.ray_tile,
+            spp_override=args.spp, sample_offset=off,
+        )
+        return jnp.sum(img)
 
     t0 = time.time()
-    checksum = float(jax.device_get(render_frames_checksum(scene, 1)))
+    checksum = float(jax.device_get(frame_checksum(scene, 0)))
     warm_s = time.time() - t0
     print(f"warmup (compile + 1 frame): {warm_s:.2f}s, checksum {checksum:.3f}",
           file=sys.stderr)
 
-    t0 = time.time()
-    float(jax.device_get(render_frames_checksum(scene, args.iters + 1)))
-    total = time.time() - t0
-    t0 = time.time()
-    float(jax.device_get(render_frames_checksum(scene, 1)))
-    one = time.time() - t0
-    # (n+1 frames) - (1 frame) removes the fixed round-trip/dispatch cost
-    dt = max((total - one) / args.iters, 1e-9)
+    times = []
+    for i in range(args.iters):
+        t0 = time.time()
+        float(jax.device_get(frame_checksum(scene, i + 1)))
+        times.append(time.time() - t0)
+    dt = sorted(times)[len(times) // 2]  # median frame (incl ~30ms RTT)
     img = render(scene)
 
     rays = args.width * args.height * args.spp

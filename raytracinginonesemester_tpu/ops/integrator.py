@@ -171,6 +171,9 @@ def trace_rays(
         p, n, _ = make_hit_frame(
             o, d, hits, geom.vertices, geom.normals, mode=scene.dialect
         )
+        # park miss/dead lanes' shade points too: their shadow rays then
+        # cull instantly instead of tracing from a garbage position
+        p = jnp.where(found[:, None], p, 1e30)
         obj = geom.obj_id[jnp.maximum(hits.tri_idx, 0)]
         mat = scene.materials.gather(obj)
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.integrator import trace_rays
 from ..core import rng as rnglib
@@ -135,7 +135,7 @@ def render_scene_sharded(
         mesh=mesh,
         in_specs=(scene_spec(scene), P("data"), P("data")),
         out_specs=P("data"),
-        check_rep=False,
+        check_vma=False,
     )
     def shard_fn(scene_local: Scene, xs_l: Array, ys_l: Array) -> Array:
         n_local = xs_l.shape[0]

@@ -122,7 +122,11 @@ def build_scene(config: SceneConfig, scene_path: str = ".", accel: str = "blocks
             continue
         path = resolve_mesh_path(scene_path, node.path)
         obj_id_begin = next_object_id
-        mesh, next_object_id = load_obj(path, next_object_id)
+        # native tokenizer when a C compiler is available (byte-equivalent
+        # to load_obj; see io.fast_obj), else the pure-Python loader
+        from ..io.fast_obj import load_obj_fast
+
+        mesh, next_object_id = load_obj_fast(path, next_object_id)
         mesh = apply_transform(mesh, node.transform)
         while len(materials) < next_object_id:
             materials.append(dict(node.material))

@@ -99,7 +99,10 @@ class Lights:
     color: Array  # (L, 3)
     intensity: Array  # (L,)
     radius: Array  # (L,)
-    shadow_samples: Array  # (L,) int32
+    # static (config, not data): bounds the unrolled shadow-sample loop
+    shadow_samples: tuple = dataclasses.field(
+        default=(1,), metadata=dict(static=True)
+    )
 
     @classmethod
     def from_dicts(cls, lights: Sequence[dict]) -> "Lights":
@@ -117,7 +120,7 @@ class Lights:
             color=arr("color", np.float32),
             intensity=arr("intensity", np.float32),
             radius=arr("radius", np.float32),
-            shadow_samples=arr("shadow_samples", np.int32),
+            shadow_samples=tuple(int(l["shadow_samples"]) for l in filled),
         )
 
     @property
@@ -125,5 +128,5 @@ class Lights:
         return int(self.position.shape[0])
 
     def max_shadow_samples(self) -> int:
-        """Static bound for the shadow-sample loop (host-side)."""
-        return int(np.max(np.asarray(self.shadow_samples)))
+        """Static bound for the shadow-sample loop."""
+        return max(self.shadow_samples)

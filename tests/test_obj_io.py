@@ -159,3 +159,28 @@ def test_ppm_header_comments(tmp_path):
     img, maxval = read_ppm_p6(str(path))
     assert maxval == 255
     np.testing.assert_allclose(img[0, 0], np.array([10, 20, 30]) / 255.0)
+
+
+def test_fast_loader_matches_python(sphere_mesh_path, frog_mesh_path, tmp_path):
+    """The native (C/ctypes) loader must be byte-equivalent to the Python
+    reference implementation on every construct."""
+    from raytracinginonesemester_tpu.io.fast_obj import load_obj_fast, native_available
+
+    if not native_available():
+        pytest.skip("no C compiler available")
+
+    quad = tmp_path / "q.obj"
+    quad.write_text(
+        "o first\nv 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nvn 0 0 1\n"
+        "f 1//1 2//1 3//1 4//1\n"
+        "g second\nv 0 0 1\nv 1 0 1\nv 0 1 1\nf -3 -2 -1\n"
+    )
+    for path in (sphere_mesh_path, frog_mesh_path, str(quad)):
+        a, na = load_obj(path, 2)
+        b, nb = load_obj_fast(path, 2)
+        assert na == nb, path
+        np.testing.assert_array_equal(a.positions, b.positions, err_msg=path)
+        np.testing.assert_array_equal(a.indices, b.indices, err_msg=path)
+        np.testing.assert_array_equal(a.triangle_obj_ids, b.triangle_obj_ids, err_msg=path)
+        if a.normals is not None:
+            np.testing.assert_array_equal(a.normals, b.normals, err_msg=path)
