@@ -52,11 +52,16 @@ class BlockGrid:
 
     ``tri`` is (9, L, B): planes [v0x v0y v0z e1x e1y e1z e2x e2y e2z]
     (edges precomputed once at build; the reference recomputes them per
-    test, query.h:77-78).  ``aabb`` is (6, L): [min_xyz, max_xyz].
-    ``tri_index`` maps back to original triangle ids (-1 padding).
+    test, query.h:77-78).  ``norm`` is (12, L, B): vertex-normal planes
+    [n0 n1 n2 xyz] plus the precomputed unit geometric normal [g xyz] —
+    resident next to the vertex planes so the traversal kernel can emit
+    shading normals without any HBM gather.  ``aabb`` is (6, L):
+    [min_xyz, max_xyz].  ``tri_index`` maps back to original triangle
+    ids (-1 padding).
     """
 
     tri: Array  # (9, L, B) float32
+    norm: Array  # (12, L, B) float32
     tri_index: Array  # (L, B) int32
     aabb: Array  # (6, L) float32
     block_size: int = dataclasses.field(metadata=dict(static=True))
@@ -67,16 +72,21 @@ class BlockGrid:
 
 
 @partial(jax.jit, static_argnames=("block_size",))
-def build_block_grid(vertices: Array, num_valid: Array, block_size: int = 128) -> BlockGrid:
+def build_block_grid(vertices: Array, num_valid: Array, block_size: int = 128,
+                     normals: Array = None) -> BlockGrid:
     """Build the block grid from (T, 3, 3) triangles.
 
     ``num_valid`` masks padding triangles (they sort to a dedicated tail
     region and never produce hits).  T must be a multiple of
-    ``block_size``.
+    ``block_size``.  ``normals`` (T, 3, 3) vertex normals default to
+    zeros (-> the kernel falls back to geometric normals, matching
+    ``query.h:117-122``).
     """
     t = vertices.shape[0]
     assert t % block_size == 0, "triangle count must be padded to block_size"
     l = t // block_size
+    if normals is None:
+        normals = jnp.zeros_like(vertices)
 
     leaf_min, leaf_max = triangle_aabbs(vertices)
     valid = jnp.arange(t) < num_valid
@@ -103,6 +113,16 @@ def build_block_grid(vertices: Array, num_valid: Array, block_size: int = 128) -
          e2[:, 0], e2[:, 1], e2[:, 2]]
     ).reshape(9, l, block_size)
 
+    sn = normals[order]  # (T, 3, 3) vertex normals
+    g = jnp.cross(e1, e2)
+    g = g / jnp.sqrt(jnp.maximum(jnp.sum(g * g, -1, keepdims=True), 1e-38))
+    norm = jnp.stack(
+        [sn[:, 0, 0], sn[:, 0, 1], sn[:, 0, 2],
+         sn[:, 1, 0], sn[:, 1, 1], sn[:, 1, 2],
+         sn[:, 2, 0], sn[:, 2, 1], sn[:, 2, 2],
+         g[:, 0], g[:, 1], g[:, 2]]
+    ).reshape(12, l, block_size)
+
     sorted_valid = valid[order]
     tri_index = jnp.where(sorted_valid, order, -1).reshape(l, block_size)
 
@@ -113,7 +133,7 @@ def build_block_grid(vertices: Array, num_valid: Array, block_size: int = 128) -
     aabb = jnp.concatenate([block_min.T, block_max.T])  # (6, L)
 
     return BlockGrid(
-        tri=tri, tri_index=tri_index, aabb=aabb, block_size=block_size
+        tri=tri, norm=norm, tri_index=tri_index, aabb=aabb, block_size=block_size
     )
 
 

@@ -32,13 +32,15 @@ from .intersect import FLT_EPSILON, intersect_closest, make_hit_frame
 __all__ = ["trace_rays"]
 
 
-def merge_hits_over_axis(hits, axis_name: str):
+def merge_hits_over_axis(hits, axis_name: str, extra=None):
     """Min-t merge of per-shard HitData across a mesh axis.
 
     The collective analog of the reference's sequential closest-t update
     (``query.h:254-263``) when triangle testing is sharded over devices:
     all_gather the per-shard candidates (a few scalars per ray) and select
-    the global minimum, lowest shard winning ties.
+    the global minimum, lowest shard winning ties.  ``extra`` (R, K)
+    per-ray payload (e.g. kernel-computed normals) merges with the same
+    selection.
     """
     from .intersect import HitData
 
@@ -53,13 +55,17 @@ def merge_hits_over_axis(hits, axis_name: str):
     best_id = jnp.min(id_key, axis=0, keepdims=True)
     best = jnp.argmax((t == min_t) & (id_key == best_id), axis=0)
     cols = jnp.arange(t.shape[1])
-    return HitData(
+    merged = HitData(
         t=t[best, cols],
         u=u[best, cols],
         v=v[best, cols],
         tri_idx=idx[best, cols],
         hit=idx[best, cols] >= 0,
     )
+    if extra is None:
+        return merged
+    ex = jax.lax.all_gather(extra, axis_name)  # (S, R, K)
+    return merged, ex[best, cols]
 
 
 def trace_rays(
@@ -99,6 +105,11 @@ def trace_rays(
     geom = scene.geometry
     r = origins.shape[0]
 
+    # kernel_normals: the gpu dialect's shading-normal hygiene runs inside
+    # the Pallas kernel (VMEM planes), skipping make_hit_frame's HBM
+    # gathers entirely
+    kernel_normals = scene.accel is not None and scene.use_pallas and gpu
+
     if scene.accel is not None and scene.use_pallas:
         from .pallas_kernels import pallas_block_closest, pallas_block_occluded
 
@@ -106,7 +117,8 @@ def trace_rays(
 
         def closest_local(o, d):
             return pallas_block_closest(
-                o, d, scene.accel, tmin=tmin, det_eps=det_eps, interpret=interp
+                o, d, scene.accel, tmin=tmin, det_eps=det_eps,
+                interpret=interp, return_normal=kernel_normals,
             )
 
         def occlude_local(o, d, s_tmin, s_tmax):
@@ -136,13 +148,22 @@ def trace_rays(
                 o, d, geom.vertices, tmin=s_tmin, tmax=s_tmax, det_eps=det_eps
             )
 
+    # normalize closest_fn to return (hits, kernel_normal_or_None)
     if model_axis is None:
-        closest_fn, occlude_fn = closest_local, occlude_local
+        if kernel_normals:
+            closest_fn = closest_local
+        else:
+            def closest_fn(o, d):
+                return closest_local(o, d), None
+        occlude_fn = occlude_local
     else:
         # triangle testing sharded over `model_axis`: local candidates are
         # merged by collectives (the ICI analog of cross-thread reduction)
         def closest_fn(o, d):
-            return merge_hits_over_axis(closest_local(o, d), model_axis)
+            if kernel_normals:
+                local, nrm = closest_local(o, d)
+                return merge_hits_over_axis(local, model_axis, extra=nrm)
+            return merge_hits_over_axis(closest_local(o, d), model_axis), None
 
         def occlude_fn(o, d, s_tmin, s_tmax):
             local = occlude_local(o, d, s_tmin, s_tmax)
@@ -155,7 +176,7 @@ def trace_rays(
         # so finished lanes cost the traversal kernels nothing
         o = jnp.where(alive[:, None], o, 1e30)
 
-        hits = closest_fn(o, d)
+        hits, kernel_n = closest_fn(o, d)
         found = hits.hit & alive
 
         # --- miss shading ---
@@ -168,9 +189,15 @@ def trace_rays(
         radiance = radiance + jnp.where(missed[:, None], throughput * miss_rad, 0.0)
 
         # --- hit frame + material ---
-        p, n, _ = make_hit_frame(
-            o, d, hits, geom.vertices, geom.normals, mode=scene.dialect
-        )
+        if kernel_n is not None:
+            # shading normal came out of the traversal kernel; the hit
+            # point is just o + t*d (query.h:111)
+            p = o + hits.t[:, None] * d
+            n = kernel_n
+        else:
+            p, n, _ = make_hit_frame(
+                o, d, hits, geom.vertices, geom.normals, mode=scene.dialect
+            )
         # park miss/dead lanes' shade points too: their shadow rays then
         # cull instantly instead of tracing from a garbage position
         p = jnp.where(found[:, None], p, 1e30)
@@ -259,7 +286,28 @@ def trace_rays(
         jnp.asarray(rng_state, jnp.uint32),
         jnp.ones((r,), bool),
     )
-    (_, _, _, radiance, _, _), _ = jax.lax.scan(bounce, init, None, length=max_depth)
+    if scene.accel is None:
+        # differentiable path: fixed-trip scan (reverse-mode transposes)
+        (_, _, _, radiance, _, _), _ = jax.lax.scan(
+            bounce, init, None, length=max_depth
+        )
+    else:
+        # forward path: stop as soon as every ray has terminated — e.g. a
+        # mirror-free scene finishes in 1 bounce instead of max_depth
+        # (the wavefront analog of the reference's per-thread `break`,
+        # query.h:209-212)
+        def w_cond(carry):
+            depth, state = carry
+            return (depth < max_depth) & jnp.any(state[5])
+
+        def w_body(carry):
+            depth, state = carry
+            new_state, _ = bounce(state, None)
+            return depth + 1, new_state
+
+        _, (_, _, _, radiance, _, _) = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), init)
+        )
 
     if gpu:
         radiance = jnp.clip(radiance, 0.0, 1.0)  # clamp(radiance), query.h:219

@@ -105,9 +105,13 @@ def _load_rays(rays_ref):
     return o, d, tmin, tmax
 
 
-def _closest_kernel(det_eps, num_blocks, block_size,
-                    rays_ref, tri_ref, ids_ref, order_ref, entry_ref,
-                    t_out, u_out, v_out, idx_out):
+def _closest_kernel(det_eps, num_blocks, block_size, with_normals,
+                    rays_ref, tri_ref, norm_ref, ids_ref, order_ref, entry_ref,
+                    *outs):
+    if with_normals:
+        t_out, u_out, v_out, idx_out, nx_out, ny_out, nz_out = outs
+    else:
+        t_out, u_out, v_out, idx_out = outs
     o, d, tmin, _ = _load_rays(rays_ref)
     rt = t_out.shape[0]
 
@@ -115,6 +119,10 @@ def _closest_kernel(det_eps, num_blocks, block_size,
     u_out[:] = jnp.zeros((rt, 1), jnp.float32)
     v_out[:] = jnp.zeros((rt, 1), jnp.float32)
     idx_out[:] = jnp.full((rt, 1), -1, jnp.int32)
+    if with_normals:
+        nx_out[:] = jnp.zeros((rt, 1), jnp.float32)
+        ny_out[:] = jnp.zeros((rt, 1), jnp.float32)
+        nz_out[:] = jnp.full((rt, 1), 1.0, jnp.float32)
 
     # plan rows come in groups of 8 sublanes; ours is program_id % 8
     row = jax.lax.rem(pl.program_id(0), 8)
@@ -155,6 +163,40 @@ def _closest_kernel(det_eps, num_blocks, block_size,
         u_out[:] = jnp.where(take, sel_u, u_out[:])
         v_out[:] = jnp.where(take, sel_v, v_out[:])
         idx_out[:] = jnp.where(take, best_id, old_idx)
+
+        if with_normals:
+            # gpu-dialect shading-normal hygiene (query.h:113-126) done
+            # in-kernel from VMEM-resident planes: per-lane interpolation,
+            # geometric sidedness, zero-length fallback, hemisphere
+            # alignment — then one pick-reduction per component.  This
+            # replaces 2M-ray HBM gathers of vertex/normal data.
+            nrm = tuple(
+                norm_ref[pl.ds(k_ * num_blocks + b, 1), :] for k_ in range(12)
+            )
+            n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z, gx, gy, gz = nrm
+            w = 1.0 - u - v
+            snx = w * n0x + u * n1x + v * n2x
+            sny = w * n0y + u * n1y + v * n2y
+            snz = w * n0z + u * n1z + v * n2z
+            dx, dy, dz = d
+            dg = dx * gx + dy * gy + dz * gz
+            gsign = jnp.where(dg < 0.0, 1.0, -1.0)  # orient against ray
+            ogx, ogy, ogz = gx * gsign, gy * gsign, gz * gsign
+            len_sq = snx * snx + sny * sny + snz * snz
+            inv_len = jax.lax.rsqrt(jnp.maximum(len_sq, 1e-38))
+            use_geom = len_sq < 1e-12
+            snx = jnp.where(use_geom, ogx, snx * inv_len)
+            sny = jnp.where(use_geom, ogy, sny * inv_len)
+            snz = jnp.where(use_geom, ogz, snz * inv_len)
+            flip = (snx * ogx + sny * ogy + snz * ogz) < 0.0
+            fsign = jnp.where(flip, -1.0, 1.0)
+            snx, sny, snz = snx * fsign, sny * fsign, snz * fsign
+            sel_nx = jnp.sum(jnp.where(pick, snx, 0.0), axis=1, keepdims=True)
+            sel_ny = jnp.sum(jnp.where(pick, sny, 0.0), axis=1, keepdims=True)
+            sel_nz = jnp.sum(jnp.where(pick, snz, 0.0), axis=1, keepdims=True)
+            nx_out[:] = jnp.where(take, sel_nx, nx_out[:])
+            ny_out[:] = jnp.where(take, sel_ny, ny_out[:])
+            nz_out[:] = jnp.where(take, sel_nz, nz_out[:])
         return k + 1
 
     jax.lax.while_loop(cond, body, jnp.int32(0))
@@ -188,7 +230,7 @@ def _prep_rays(origins, dirs, tmin, tmax):
     return rays, r + pad
 
 
-@partial(jax.jit, static_argnames=("det_eps", "interpret"))
+@partial(jax.jit, static_argnames=("det_eps", "interpret", "return_normal"))
 def pallas_block_closest(
     origins: Array,
     dirs: Array,
@@ -197,11 +239,15 @@ def pallas_block_closest(
     *,
     det_eps: float = 1e-8,
     interpret: bool = False,
-) -> HitData:
+    return_normal: bool = False,
+):
     """Closest hit via the fused, front-to-back Pallas traversal kernel.
 
     Semantics identical to ``accel.block_closest`` (same tie-break);
-    tests assert hit/triangle equality between the two.
+    tests assert hit/triangle equality between the two.  With
+    ``return_normal=True`` also returns the gpu-dialect shading normal
+    (R, 3) computed in-kernel from VMEM-resident planes — no HBM
+    vertex/normal gathers.
     """
     r = origins.shape[0]
     l, b = grid.tri_index.shape
@@ -211,12 +257,18 @@ def pallas_block_closest(
     )
     order, entry = _pad_plan_rows(order, entry)
     tri_rows = grid.tri.reshape(9 * l, b)
+    norm_rows = grid.norm.reshape(12 * l, b)
 
+    out_col = lambda: pl.BlockSpec(
+        (RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    n_outs = 7 if return_normal else 4
     grid_spec = pl.GridSpec(
         grid=(rp // RAY_TILE,),
         in_specs=[
             pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows (9L, B)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # norm rows (12L, B)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ids (L, B)
             # plan rows in groups of 8 sublanes (Mosaic tiling floor);
             # the kernel picks row program_id % 8.  SMEM because the
@@ -224,27 +276,24 @@ def pallas_block_closest(
             pl.BlockSpec((8, l), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, l), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=[out_col() for _ in range(n_outs)],
     )
-    t, u, v, idx = pl.pallas_call(
-        partial(_closest_kernel, det_eps, l, b),
-        out_shape=[
-            jax.ShapeDtypeStruct((rp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((rp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((rp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((rp, 1), jnp.int32),
-        ],
+    dtypes = [jnp.float32, jnp.float32, jnp.float32, jnp.int32]
+    if return_normal:
+        dtypes += [jnp.float32, jnp.float32, jnp.float32]
+    outs = pl.pallas_call(
+        partial(_closest_kernel, det_eps, l, b, return_normal),
+        out_shape=[jax.ShapeDtypeStruct((rp, 1), dt) for dt in dtypes],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rays, tri_rows, grid.tri_index, order, entry)
+    )(rays, tri_rows, norm_rows, grid.tri_index, order, entry)
 
-    t, u, v, idx = t[:r, 0], u[:r, 0], v[:r, 0], idx[:r, 0]
-    return HitData(t=t, u=u, v=v, tri_idx=idx, hit=idx >= 0)
+    t, u, v, idx = (a[:r, 0] for a in outs[:4])
+    hits = HitData(t=t, u=u, v=v, tri_idx=idx, hit=idx >= 0)
+    if return_normal:
+        normal = jnp.concatenate([a[:r] for a in outs[4:]], axis=1)
+        return hits, normal
+    return hits
 
 
 def _occluded_kernel(det_eps, num_blocks, block_size,

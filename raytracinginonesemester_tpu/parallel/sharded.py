@@ -68,6 +68,9 @@ def shard_scene_blocks(scene: Scene, num_shards: int) -> Scene:
         tri=jnp.concatenate(
             [grid.tri, jnp.zeros((9, pad, grid.block_size), grid.tri.dtype)], axis=1
         ),
+        norm=jnp.concatenate(
+            [grid.norm, jnp.zeros((12, pad, grid.block_size), grid.norm.dtype)], axis=1
+        ),
         tri_index=jnp.concatenate(
             [grid.tri_index, jnp.full((pad, grid.block_size), -1, jnp.int32)]
         ),
@@ -123,6 +126,7 @@ def render_scene_sharded(
 
             accel_spec = BlockGrid(
                 tri=P(None, model_axis, None),
+                norm=P(None, model_axis, None),
                 tri_index=P(model_axis, None),
                 aabb=P(None, model_axis),
                 block_size=s.accel.block_size,

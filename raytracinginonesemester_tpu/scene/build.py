@@ -156,7 +156,8 @@ def build_scene(config: SceneConfig, scene_path: str = ".", accel: str = "blocks
         from ..ops.accel import build_block_grid
 
         accel_struct = build_block_grid(
-            geometry.vertices, jnp.asarray(geometry.num_triangles)
+            geometry.vertices, jnp.asarray(geometry.num_triangles),
+            normals=geometry.normals,
         )
     elif accel not in (None, "none", "bruteforce"):
         raise ValueError(f"unknown accel {accel!r}")

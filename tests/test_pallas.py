@@ -69,3 +69,37 @@ def test_ray_padding(grid_and_rays):
     np.testing.assert_array_equal(
         np.asarray(h_all.tri_idx)[:37], np.asarray(h_sub.tri_idx)
     )
+
+
+def test_kernel_normals_match_hit_frame(grid_and_rays):
+    """In-kernel gpu-dialect shading normals must match make_hit_frame."""
+    import jax.numpy as jnp
+
+    from raytracinginonesemester_tpu.ops.intersect import make_hit_frame
+
+    rs = np.random.RandomState(5)
+    tris_np = np.asarray(
+        (rs.uniform(-4, 4, (256, 1, 3)) + rs.uniform(-0.4, 0.4, (256, 3, 3)))
+        .astype(np.float32)
+    )
+    normals_np = rs.normal(size=(256, 3, 3)).astype(np.float32)
+    normals_np /= np.linalg.norm(normals_np, axis=-1, keepdims=True)
+    grid = build_block_grid(
+        jnp.asarray(tris_np), jnp.asarray(256), block_size=128,
+        normals=jnp.asarray(normals_np),
+    )
+    o = jnp.asarray(rs.uniform(-6, 6, (200, 3)).astype(np.float32))
+    d = rs.normal(size=(200, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+
+    hits, knorm = pallas_block_closest(
+        o, d, grid, tmin=1e-4, interpret=True, return_normal=True
+    )
+    _, n_ref, _ = make_hit_frame(
+        o, d, hits, jnp.asarray(tris_np), jnp.asarray(normals_np), mode="gpu"
+    )
+    hit = np.asarray(hits.hit)
+    np.testing.assert_allclose(
+        np.asarray(knorm)[hit], np.asarray(n_ref)[hit], rtol=1e-4, atol=1e-5
+    )
