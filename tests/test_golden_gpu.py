@@ -45,3 +45,25 @@ def test_gpu_diffuse_golden():
     ours = _run("gpu_diffuse")
     golden = read_png(str(GOLDENS / "gpu_diffuse.png"))
     assert_images_close(ours, golden, context="gpu_diffuse")
+
+
+def test_gpu_frog_golden():
+    """The flagship frog workload (frog.json semantics) vs the oracle,
+    through the XLA block path."""
+    ours = _run("gpu_frog")
+    golden = read_png(str(GOLDENS / "gpu_frog.png"))
+    assert_images_close(ours, golden, context="gpu_frog")
+
+
+def test_gpu_frog_golden_pallas():
+    """Same frame through the fused Pallas kernels (interpret mode on
+    CPU): the full integrator with in-kernel normals must match the
+    oracle too."""
+    import dataclasses
+
+    scene = load_scene(str(SCENES / "gpu_frog.json"))
+    scene = dataclasses.replace(scene, use_pallas=True)
+    img = render_scene(scene, jitter_mode="reference_cpu")
+    ours = quantize(np.asarray(img), "gpu")
+    golden = read_png(str(GOLDENS / "gpu_frog.png"))
+    assert_images_close(ours, golden, context="gpu_frog pallas")
