@@ -49,7 +49,7 @@ from .accel import BlockGrid, tile_visit_plan
 
 __all__ = ["fits_vmem", "pallas_block_closest", "pallas_block_occluded", "RAY_TILE"]
 
-RAY_TILE = 256
+RAY_TILE = 512
 _INT_MAX = np.int32(2**31 - 1)
 
 # leave headroom for ray tiles, scratch and double buffers
