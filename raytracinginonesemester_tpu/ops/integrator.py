@@ -107,8 +107,13 @@ def trace_rays(
 
     # kernel_normals: the gpu dialect's shading-normal hygiene runs inside
     # the Pallas kernel (VMEM planes), skipping make_hit_frame's HBM
-    # gathers entirely
+    # gathers entirely.  kernel_shadows: point-light shadow rays are
+    # traced in the same kernel invocation too (fused IsInShadow).
     kernel_normals = scene.accel is not None and scene.use_pallas and gpu
+    # gpu lights are always point lights; under model sharding each shard
+    # only sees its own blocks, so fused visibility would be partial —
+    # fall back to the psum'd occlusion kernel there
+    kernel_shadows = kernel_normals and model_axis is None
 
     if scene.accel is not None and scene.use_pallas:
         from .pallas_kernels import pallas_block_closest, pallas_block_occluded
@@ -119,6 +124,9 @@ def trace_rays(
             return pallas_block_closest(
                 o, d, scene.accel, tmin=tmin, det_eps=det_eps,
                 interpret=interp, return_normal=kernel_normals,
+                shadow_lights=scene.lights.position if kernel_shadows else None,
+                shadow_eps=shading.RT_EPS_GPU,
+                shadow_tmin=1e-4,
             )
 
         def occlude_local(o, d, s_tmin, s_tmax):
@@ -148,13 +156,17 @@ def trace_rays(
                 o, d, geom.vertices, tmin=s_tmin, tmax=s_tmax, det_eps=det_eps
             )
 
-    # normalize closest_fn to return (hits, kernel_normal_or_None)
+    # normalize closest_fn to return (hits, normal_or_None, vis_or_None)
     if model_axis is None:
-        if kernel_normals:
-            closest_fn = closest_local
+        if kernel_shadows:
+            closest_fn = closest_local  # already a 3-tuple
+        elif kernel_normals:
+            def closest_fn(o, d):
+                h, n = closest_local(o, d)
+                return h, n, None
         else:
             def closest_fn(o, d):
-                return closest_local(o, d), None
+                return closest_local(o, d), None, None
         occlude_fn = occlude_local
     else:
         # triangle testing sharded over `model_axis`: local candidates are
@@ -162,8 +174,13 @@ def trace_rays(
         def closest_fn(o, d):
             if kernel_normals:
                 local, nrm = closest_local(o, d)
-                return merge_hits_over_axis(local, model_axis, extra=nrm)
-            return merge_hits_over_axis(closest_local(o, d), model_axis), None
+                h, n = merge_hits_over_axis(local, model_axis, extra=nrm)
+                return h, n, None
+            return (
+                merge_hits_over_axis(closest_local(o, d), model_axis),
+                None,
+                None,
+            )
 
         def occlude_fn(o, d, s_tmin, s_tmax):
             local = occlude_local(o, d, s_tmin, s_tmax)
@@ -176,7 +193,7 @@ def trace_rays(
         # so finished lanes cost the traversal kernels nothing
         o = jnp.where(alive[:, None], o, 1e30)
 
-        hits, kernel_n = closest_fn(o, d)
+        hits, kernel_n, kernel_vis = closest_fn(o, d)
         found = hits.hit & alive
 
         # --- miss shading ---
@@ -207,7 +224,7 @@ def trace_rays(
         # --- direct lighting ---
         direct, state_direct = shading.shade_direct(
             o, d, p, n, mat, scene.lights, occlude_fn, state,
-            dialect=scene.dialect,
+            dialect=scene.dialect, vis_precomputed=kernel_vis,
         )
         state = jnp.where(found, state_direct, state)
         radiance = radiance + jnp.where(found[:, None], throughput * direct, 0.0)

@@ -105,10 +105,18 @@ def _load_rays(rays_ref):
     return o, d, tmin, tmax
 
 
-def _closest_kernel(det_eps, num_blocks, block_size, with_normals,
+def _closest_kernel(det_eps, num_blocks, block_size, with_normals, n_shadow,
+                    shadow_eps, shadow_tmin,
                     rays_ref, tri_ref, norm_ref, ids_ref, order_ref, entry_ref,
-                    *outs):
-    if with_normals:
+                    *rest):
+    if n_shadow:
+        lights_ref, aabb_ref = rest[0], rest[1]
+        outs = rest[2:]
+    else:
+        outs = rest
+    if n_shadow:
+        t_out, u_out, v_out, idx_out, nx_out, ny_out, nz_out, vis_out = outs
+    elif with_normals:
         t_out, u_out, v_out, idx_out, nx_out, ny_out, nz_out = outs
     else:
         t_out, u_out, v_out, idx_out = outs
@@ -201,6 +209,80 @@ def _closest_kernel(det_eps, num_blocks, block_size, with_normals,
 
     jax.lax.while_loop(cond, body, jnp.int32(0))
 
+    if n_shadow:
+        # --- fused shadow rays (IsInShadow, shader.h:44-62) ---
+        # Shares the VMEM triangle planes: per light, spawn the shadow
+        # ray at the hit point offset along the shading normal
+        # (p + N*RT_EPS, shader.h:57) and any-hit test blocks with
+        # per-tile slab culling.  Non-hit lanes park at 1e30 so empty
+        # tiles exit after the slab sweep.
+        ox, oy, oz = o
+        dx, dy, dz = d
+        t_hit = t_out[:]
+        hit_mask = idx_out[:] >= 0
+        px = jnp.where(hit_mask, ox + t_hit * dx + nx_out[:] * shadow_eps, 1e30)
+        py = jnp.where(hit_mask, oy + t_hit * dy + ny_out[:] * shadow_eps, 1e30)
+        pz = jnp.where(hit_mask, oz + t_hit * dz + nz_out[:] * shadow_eps, 1e30)
+
+        for li in range(n_shadow):
+            lx = lights_ref[li, 0]
+            ly = lights_ref[li, 1]
+            lz = lights_ref[li, 2]
+            tox, toy, toz = lx - px, ly - py, lz - pz
+            dist = jnp.sqrt(jnp.maximum(tox * tox + toy * toy + toz * toz, 1e-38))
+            inv_dist = 1.0 / dist
+            sdx, sdy, sdz = tox * inv_dist, toy * inv_dist, toz * inv_dist
+            six, siy, siz = 1.0 / sdx, 1.0 / sdy, 1.0 / sdz
+            so = (px, py, pz)
+            sd = (sdx, sdy, sdz)
+            si = (six, siy, siz)
+
+            # the vis column doubles as the "blocked" accumulator during
+            # the loop (Mosaic has no value-carrying conditionals; state
+            # lives in the ref so @pl.when can guard the triangle test)
+            vis_out[:, li:li + 1] = jnp.zeros_like(dist)
+
+            def s_cond(k):
+                blocked = vis_out[:, li:li + 1] > 0.0
+                return (k < num_blocks) & jnp.any(hit_mask & ~blocked)
+
+            def s_body(k):
+                blocked = vis_out[:, li:li + 1] > 0.0
+                arow = aabb_ref[pl.ds(k, 1), :]
+                t0 = jnp.full_like(dist, shadow_tmin)
+                t1 = dist
+                for axis in range(3):
+                    lo = (arow[0, axis] - so[axis]) * si[axis]
+                    hi = (arow[0, axis + 3] - so[axis]) * si[axis]
+                    near = jnp.minimum(lo, hi)
+                    far = jnp.maximum(lo, hi)
+                    near = jnp.where(jnp.isnan(near), -jnp.inf, near)
+                    far = jnp.where(jnp.isnan(far), jnp.inf, far * 1.0000004)
+                    t0 = jnp.maximum(t0, near)
+                    t1 = jnp.minimum(t1, far)
+                boxed = (t0 <= t1) & hit_mask & ~blocked
+
+                @pl.when(jnp.any(boxed))
+                def _():
+                    tri = tuple(
+                        tri_ref[pl.ds(k_ * num_blocks + k, 1), :]
+                        for k_ in range(9)
+                    )
+                    ids = ids_ref[pl.ds(k, 1), :]
+                    ts, _, _ = _mt_block(so, sd, tri, det_eps,
+                                         jnp.full_like(dist, shadow_tmin), dist)
+                    ts = jnp.where(ids >= 0, ts, F32_MAX)
+                    s_hit = jnp.min(ts, axis=1, keepdims=True) < F32_MAX
+                    vis_out[:, li:li + 1] = jnp.maximum(
+                        vis_out[:, li:li + 1], s_hit.astype(jnp.float32)
+                    )
+
+                return k + 1
+
+            jax.lax.while_loop(s_cond, s_body, jnp.int32(0))
+            blocked = vis_out[:, li:li + 1] > 0.0
+            vis_out[:, li:li + 1] = jnp.where(hit_mask & ~blocked, 1.0, 0.0)
+
 
 def _pad_plan_rows(order, entry):
     """Pad the plan's tile axis to a multiple of 8 (Mosaic sublane floor)."""
@@ -230,7 +312,8 @@ def _prep_rays(origins, dirs, tmin, tmax):
     return rays, r + pad
 
 
-@partial(jax.jit, static_argnames=("det_eps", "interpret", "return_normal"))
+@partial(jax.jit, static_argnames=(
+    "det_eps", "interpret", "return_normal", "shadow_eps", "shadow_tmin"))
 def pallas_block_closest(
     origins: Array,
     dirs: Array,
@@ -240,17 +323,28 @@ def pallas_block_closest(
     det_eps: float = 1e-8,
     interpret: bool = False,
     return_normal: bool = False,
+    shadow_lights: Array = None,
+    shadow_eps: float = 1e-3,
+    shadow_tmin: float = 1e-4,
 ):
     """Closest hit via the fused, front-to-back Pallas traversal kernel.
 
     Semantics identical to ``accel.block_closest`` (same tie-break);
-    tests assert hit/triangle equality between the two.  With
-    ``return_normal=True`` also returns the gpu-dialect shading normal
-    (R, 3) computed in-kernel from VMEM-resident planes — no HBM
-    vertex/normal gathers.
+    tests assert hit/triangle equality between the two.
+
+    - ``return_normal=True``: also returns the gpu-dialect shading
+      normal (R, 3) computed in-kernel from VMEM-resident planes — no
+      HBM vertex/normal gathers.
+    - ``shadow_lights`` (NL, 3) point-light positions: additionally
+      traces one shadow ray per light from each hit point inside the
+      same kernel (``IsInShadow``, shader.h:44-62) and returns
+      per-light visibility (R, NL) — implies ``return_normal``.
     """
     r = origins.shape[0]
     l, b = grid.tri_index.shape
+    n_shadow = 0 if shadow_lights is None else int(shadow_lights.shape[0])
+    if n_shadow:
+        return_normal = True
     rays, rp = _prep_rays(origins, dirs, tmin, F32_MAX)
     order, entry, _ = tile_visit_plan(
         rays[:, 0:3], rays[:, 3:6], grid, rays[:, 6], rays[:, 7], RAY_TILE
@@ -262,34 +356,58 @@ def pallas_block_closest(
     out_col = lambda: pl.BlockSpec(
         (RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    n_outs = 7 if return_normal else 4
-    grid_spec = pl.GridSpec(
-        grid=(rp // RAY_TILE,),
-        in_specs=[
-            pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows (9L, B)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # norm rows (12L, B)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ids (L, B)
-            # plan rows in groups of 8 sublanes (Mosaic tiling floor);
-            # the kernel picks row program_id % 8.  SMEM because the
-            # kernel reads them with dynamic scalar indices.
-            pl.BlockSpec((8, l), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, l), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=[out_col() for _ in range(n_outs)],
-    )
+    in_specs = [
+        pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows (9L, B)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # norm rows (12L, B)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # ids (L, B)
+        # plan rows in groups of 8 sublanes (Mosaic tiling floor);
+        # the kernel picks row program_id % 8.  SMEM because the
+        # kernel reads them with dynamic scalar indices.
+        pl.BlockSpec((8, l), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((8, l), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
+    ]
+    inputs = [rays, tri_rows, norm_rows, grid.tri_index, order, entry]
+    if n_shadow:
+        lights_pad = jnp.pad(
+            jnp.asarray(shadow_lights, jnp.float32), ((0, 0), (0, 5))
+        )  # (NL, 8)
+        aabb_rows = jnp.pad(grid.aabb.T, ((0, 0), (0, 2)))  # (L, 8)
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lights (NL, 8)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # aabb rows (L, 8)
+        ]
+        inputs += [lights_pad, aabb_rows]
+
     dtypes = [jnp.float32, jnp.float32, jnp.float32, jnp.int32]
     if return_normal:
         dtypes += [jnp.float32, jnp.float32, jnp.float32]
+    out_shapes = [jax.ShapeDtypeStruct((rp, 1), dt) for dt in dtypes]
+    out_specs = [out_col() for _ in dtypes]
+    if n_shadow:
+        out_shapes.append(jax.ShapeDtypeStruct((rp, n_shadow), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((RAY_TILE, n_shadow), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+
+    grid_spec = pl.GridSpec(
+        grid=(rp // RAY_TILE,), in_specs=in_specs, out_specs=out_specs
+    )
     outs = pl.pallas_call(
-        partial(_closest_kernel, det_eps, l, b, return_normal),
-        out_shape=[jax.ShapeDtypeStruct((rp, 1), dt) for dt in dtypes],
+        partial(_closest_kernel, det_eps, l, b, return_normal, n_shadow,
+                shadow_eps, shadow_tmin),
+        out_shape=out_shapes,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rays, tri_rows, norm_rows, grid.tri_index, order, entry)
+    )(*inputs)
 
     t, u, v, idx = (a[:r, 0] for a in outs[:4])
     hits = HitData(t=t, u=u, v=v, tri_idx=idx, hit=idx >= 0)
+    if n_shadow:
+        normal = jnp.concatenate([a[:r] for a in outs[4:7]], axis=1)
+        vis = outs[7][:r]
+        return hits, normal, vis
     if return_normal:
         normal = jnp.concatenate([a[:r] for a in outs[4:]], axis=1)
         return hits, normal
