@@ -109,13 +109,20 @@ def trace_rays(
     # the Pallas kernel (VMEM planes), skipping make_hit_frame's HBM
     # gathers entirely.  kernel_shadows: point-light shadow rays are
     # traced in the same kernel invocation too (fused IsInShadow).
-    kernel_normals = scene.accel is not None and scene.use_pallas and gpu
+    use_pallas = scene.use_pallas
+    if use_pallas and scene.accel is not None:
+        from .pallas_kernels import fits_vmem
+
+        # scenes whose planes exceed VMEM fall back to the XLA block path
+        use_pallas = fits_vmem(scene.accel)
+
+    kernel_normals = scene.accel is not None and use_pallas and gpu
     # gpu lights are always point lights; under model sharding each shard
     # only sees its own blocks, so fused visibility would be partial —
     # fall back to the psum'd occlusion kernel there
     kernel_shadows = kernel_normals and model_axis is None
 
-    if scene.accel is not None and scene.use_pallas:
+    if scene.accel is not None and use_pallas:
         from .pallas_kernels import pallas_block_closest, pallas_block_occluded
 
         interp = jax.default_backend() != "tpu"  # interpret off-TPU
