@@ -269,18 +269,47 @@ def _gather_group(grid: BlockGrid, visit_order: Array, k: Array):
     return tri, idx
 
 
+# blocks per superblock in the coarse traversal plan
+SUPER = 8
+
+
+def super_aabbs(grid: BlockGrid):
+    """Union AABBs of consecutive SUPER-block groups -> (6, LS).
+
+    Morton-adjacent blocks are spatially adjacent, so the coarse boxes
+    stay tight — this is one more collapsed LBVH level on top of the
+    blocks.
+    """
+    l = grid.num_blocks
+    ls = -(-l // SUPER)
+    pad = ls * SUPER - l
+    aabb = grid.aabb
+    if pad:
+        pad_cols = jnp.concatenate(
+            [jnp.full((3, pad), jnp.inf), jnp.full((3, pad), -jnp.inf)]
+        )
+        aabb = jnp.concatenate([aabb, pad_cols], axis=1)
+    smin = aabb[:3].reshape(3, ls, SUPER).min(axis=2)
+    smax = aabb[3:].reshape(3, ls, SUPER).max(axis=2)
+    return jnp.concatenate([smin, smax])  # (6, LS)
+
+
 def tile_visit_plan(origins, dirs, grid: BlockGrid, tmin, tmax, ray_tile: int):
     """Front-to-back per-tile traversal plan for the Pallas kernels.
 
     For each tile of ``ray_tile`` rays (callers arrange tiles to be
-    spatially coherent): which blocks any tile ray's slab test hits, in
-    ascending order of the tile's closest slab-entry distance.  Sorted
-    entries let the kernel stop as soon as the next block begins beyond
-    every ray's current best hit — the wavefront analog of ordered BVH
-    descent with closest-t pruning (``query.h:251-263``).
+    spatially coherent): which *superblocks* (groups of SUPER
+    Morton-adjacent blocks) any tile ray's slab test hits, in ascending
+    order of the tile's closest slab-entry distance.  Planning at
+    superblock granularity cuts the (rays x boxes) pre-pass and the
+    per-tile sort by SUPERx; the kernel refines with cheap per-block
+    slab tests before each dense triangle test.  Sorted entries let the
+    kernel stop as soon as the next superblock begins beyond every ray's
+    current best hit — ordered BVH descent with closest-t pruning
+    (``query.h:251-263``), amortized per tile.
 
     origins/dirs must already be padded to a ray_tile multiple.  Returns
-    (order (NT, L) int32, sorted_entry (NT, L) f32, count (NT, 1) int32).
+    (order (NT, LS) int32, sorted_entry (NT, LS) f32, count (NT, 1)).
     """
     r = origins.shape[0]
     assert r % ray_tile == 0
@@ -288,11 +317,12 @@ def tile_visit_plan(origins, dirs, grid: BlockGrid, tmin, tmax, ray_tile: int):
     o, d, inv_d = _ray_soa(origins, dirs)
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
-    hit, entry = _slab_entry(o, inv_d, grid.aabb, tmin, tmax)
-    l = grid.num_blocks
-    entry = jnp.where(hit, entry, jnp.inf).reshape(nt, ray_tile, l)
-    entry_tile = jnp.min(entry, axis=1)  # (NT, L)
-    active = jnp.any(hit.reshape(nt, ray_tile, l), axis=1)
+    saabb = super_aabbs(grid)
+    hit, entry = _slab_entry(o, inv_d, saabb, tmin, tmax)
+    ls = saabb.shape[1]
+    entry = jnp.where(hit, entry, jnp.inf).reshape(nt, ray_tile, ls)
+    entry_tile = jnp.min(entry, axis=1)  # (NT, LS)
+    active = jnp.any(hit.reshape(nt, ray_tile, ls), axis=1)
     count = jnp.sum(active.astype(jnp.int32), axis=1, keepdims=True)
     order = jnp.argsort(entry_tile, axis=1).astype(jnp.int32)
     sorted_entry = jnp.take_along_axis(entry_tile, order, axis=1).astype(jnp.float32)

@@ -110,6 +110,9 @@ def trace_rays(
     # gathers entirely.  kernel_shadows: point-light shadow rays are
     # traced in the same kernel invocation too (fused IsInShadow).
     use_pallas = scene.use_pallas
+    if use_pallas is None:
+        # auto: fused kernels on real TPU; interpret mode is test-only
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas and scene.accel is not None:
         from .pallas_kernels import fits_vmem
 

@@ -105,13 +105,30 @@ def _load_rays(rays_ref):
     return o, d, tmin, tmax
 
 
-def _closest_kernel(det_eps, num_blocks, block_size, with_normals, n_shadow,
-                    shadow_eps, shadow_tmin,
-                    rays_ref, tri_ref, norm_ref, ids_ref, order_ref, entry_ref,
-                    *rest):
+def _tile_slab(aabb_ref, b, o, inv_d, tmin, tmax):
+    """Per-tile slab test vs block AABB row ``b`` (clamped read) ->
+    (RAY_TILE, 1) bool."""
+    arow = aabb_ref[pl.ds(b, 1), :]
+    t0, t1 = tmin, tmax
+    for axis in range(3):
+        lo = (arow[0, axis] - o[axis]) * inv_d[axis]
+        hi = (arow[0, axis + 3] - o[axis]) * inv_d[axis]
+        near = jnp.minimum(lo, hi)
+        far = jnp.maximum(lo, hi)
+        near = jnp.where(jnp.isnan(near), -jnp.inf, near)
+        far = jnp.where(jnp.isnan(far), jnp.inf, far * 1.0000004)
+        t0 = jnp.maximum(t0, near)
+        t1 = jnp.minimum(t1, far)
+    return t0 <= t1
+
+
+def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
+                    n_shadow, shadow_eps, shadow_tmin,
+                    rays_ref, tri_ref, norm_ref, ids_ref, aabb_ref,
+                    order_ref, entry_ref, *rest):
     if n_shadow:
-        lights_ref, aabb_ref = rest[0], rest[1]
-        outs = rest[2:]
+        lights_ref = rest[0]
+        outs = rest[1:]
     else:
         outs = rest
     if n_shadow:
@@ -121,6 +138,7 @@ def _closest_kernel(det_eps, num_blocks, block_size, with_normals, n_shadow,
     else:
         t_out, u_out, v_out, idx_out = outs
     o, d, tmin, _ = _load_rays(rays_ref)
+    inv_d = tuple(1.0 / c for c in d)
     rt = t_out.shape[0]
 
     t_out[:] = jnp.full((rt, 1), F32_MAX, jnp.float32)
@@ -134,17 +152,18 @@ def _closest_kernel(det_eps, num_blocks, block_size, with_normals, n_shadow,
 
     # plan rows come in groups of 8 sublanes; ours is program_id % 8
     row = jax.lax.rem(pl.program_id(0), 8)
+    from .accel import SUPER
 
     def cond(k):
-        # stop once the next block starts beyond every ray's best hit —
-        # entries are sorted ascending with inf marking inactive blocks,
-        # so the entry test doubles as the active-count bound
-        in_range = k < num_blocks
-        next_entry = entry_ref[row, jnp.minimum(k, num_blocks - 1)]
+        # stop once the next superblock starts beyond every ray's best
+        # hit — entries are sorted ascending with inf marking inactive
+        # superblocks, so the entry test doubles as the count bound
+        in_range = k < num_supers
+        next_entry = entry_ref[row, jnp.minimum(k, num_supers - 1)]
         return in_range & (next_entry <= jnp.max(t_out[:]))
 
-    def body(k):
-        b = order_ref[row, k]
+    def visit_block(b):
+        """Dense triangle test of one block, updating the running best."""
         tri = tuple(
             tri_ref[pl.ds(k_ * num_blocks + b, 1), :] for k_ in range(9)
         )
@@ -205,6 +224,19 @@ def _closest_kernel(det_eps, num_blocks, block_size, with_normals, n_shadow,
             nx_out[:] = jnp.where(take, sel_nx, nx_out[:])
             ny_out[:] = jnp.where(take, sel_ny, ny_out[:])
             nz_out[:] = jnp.where(take, sel_nz, nz_out[:])
+
+    def body(k):
+        sb = order_ref[row, k]
+        for j in range(SUPER):
+            b = sb * SUPER + j
+            b_c = jnp.minimum(b, num_blocks - 1)  # clamp OOB tail reads
+            boxed = _tile_slab(aabb_ref, b_c, o, inv_d, tmin, t_out[:])
+            do_visit = jnp.any(boxed) & (b < num_blocks)
+
+            @pl.when(do_visit)
+            def _():
+                visit_block(b_c)
+
         return k + 1
 
     jax.lax.while_loop(cond, body, jnp.int32(0))
@@ -350,8 +382,10 @@ def pallas_block_closest(
         rays[:, 0:3], rays[:, 3:6], grid, rays[:, 6], rays[:, 7], RAY_TILE
     )
     order, entry = _pad_plan_rows(order, entry)
+    ls = order.shape[1]
     tri_rows = grid.tri.reshape(9 * l, b)
     norm_rows = grid.norm.reshape(12 * l, b)
+    aabb_rows = jnp.pad(grid.aabb.T, ((0, 0), (0, 2)))  # (L, 8)
 
     out_col = lambda: pl.BlockSpec(
         (RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -361,23 +395,20 @@ def pallas_block_closest(
         pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows (9L, B)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # norm rows (12L, B)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # ids (L, B)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # aabb rows (L, 8)
         # plan rows in groups of 8 sublanes (Mosaic tiling floor);
         # the kernel picks row program_id % 8.  SMEM because the
         # kernel reads them with dynamic scalar indices.
-        pl.BlockSpec((8, l), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((8, l), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((8, ls), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((8, ls), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
     ]
-    inputs = [rays, tri_rows, norm_rows, grid.tri_index, order, entry]
+    inputs = [rays, tri_rows, norm_rows, grid.tri_index, aabb_rows, order, entry]
     if n_shadow:
         lights_pad = jnp.pad(
             jnp.asarray(shadow_lights, jnp.float32), ((0, 0), (0, 5))
         )  # (NL, 8)
-        aabb_rows = jnp.pad(grid.aabb.T, ((0, 0), (0, 2)))  # (L, 8)
-        in_specs += [
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # lights (NL, 8)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # aabb rows (L, 8)
-        ]
-        inputs += [lights_pad, aabb_rows]
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # lights
+        inputs.append(lights_pad)
 
     dtypes = [jnp.float32, jnp.float32, jnp.float32, jnp.int32]
     if return_normal:
@@ -395,7 +426,7 @@ def pallas_block_closest(
         grid=(rp // RAY_TILE,), in_specs=in_specs, out_specs=out_specs
     )
     outs = pl.pallas_call(
-        partial(_closest_kernel, det_eps, l, b, return_normal, n_shadow,
+        partial(_closest_kernel, det_eps, l, ls, b, return_normal, n_shadow,
                 shadow_eps, shadow_tmin),
         out_shape=out_shapes,
         grid_spec=grid_spec,
@@ -414,29 +445,42 @@ def pallas_block_closest(
     return hits
 
 
-def _occluded_kernel(det_eps, num_blocks, block_size,
-                     rays_ref, tri_ref, ids_ref, order_ref, entry_ref,
-                     out_ref):
+def _occluded_kernel(det_eps, num_blocks, num_supers, block_size,
+                     rays_ref, tri_ref, ids_ref, aabb_ref,
+                     order_ref, entry_ref, out_ref):
     o, d, tmin, tmax = _load_rays(rays_ref)
+    inv_d = tuple(1.0 / c for c in d)
     rt = out_ref.shape[0]
     out_ref[:] = jnp.zeros((rt, 1), jnp.int32)
     row = jax.lax.rem(pl.program_id(0), 8)
+    from .accel import SUPER
 
     def cond(k):
-        in_range = k < num_blocks
-        next_entry = entry_ref[row, jnp.minimum(k, num_blocks - 1)]
+        in_range = k < num_supers
+        next_entry = entry_ref[row, jnp.minimum(k, num_supers - 1)]
         return in_range & (next_entry < jnp.inf) & jnp.any(out_ref[:] == 0)
 
     def body(k):
-        b = order_ref[row, k]
-        tri = tuple(
-            tri_ref[pl.ds(k_ * num_blocks + b, 1), :] for k_ in range(9)
-        )
-        ids = ids_ref[pl.ds(b, 1), :]
-        t, _, _ = _mt_block(o, d, tri, det_eps, tmin, tmax)
-        t = jnp.where(ids >= 0, t, F32_MAX)
-        hit = jnp.any(t < F32_MAX, axis=1, keepdims=True)
-        out_ref[:] = jnp.maximum(out_ref[:], hit.astype(jnp.int32))
+        sb = order_ref[row, k]
+        for j in range(SUPER):
+            b = sb * SUPER + j
+            b_c = jnp.minimum(b, num_blocks - 1)
+            unresolved = out_ref[:] == 0
+            boxed = _tile_slab(aabb_ref, b_c, o, inv_d, tmin, tmax) & unresolved
+            do_visit = jnp.any(boxed) & (b < num_blocks)
+
+            @pl.when(do_visit)
+            def _():
+                tri = tuple(
+                    tri_ref[pl.ds(k_ * num_blocks + b_c, 1), :]
+                    for k_ in range(9)
+                )
+                ids = ids_ref[pl.ds(b_c, 1), :]
+                t, _, _ = _mt_block(o, d, tri, det_eps, tmin, tmax)
+                t = jnp.where(ids >= 0, t, F32_MAX)
+                hit = jnp.any(t < F32_MAX, axis=1, keepdims=True)
+                out_ref[:] = jnp.maximum(out_ref[:], hit.astype(jnp.int32))
+
         return k + 1
 
     jax.lax.while_loop(cond, body, jnp.int32(0))
@@ -463,25 +507,28 @@ def pallas_block_occluded(
         rays[:, 0:3], rays[:, 3:6], grid, rays[:, 6], rays[:, 7], RAY_TILE
     )
     order, entry = _pad_plan_rows(order, entry)
+    ls = order.shape[1]
     tri_rows = grid.tri.reshape(9 * l, b)
+    aabb_rows = jnp.pad(grid.aabb.T, ((0, 0), (0, 2)))  # (L, 8)
 
     grid_spec = pl.GridSpec(
         grid=(rp // RAY_TILE,),
         in_specs=[
             pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, l), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, l), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ids
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # aabb rows
+            pl.BlockSpec((8, ls), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, ls), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
     )
     (blocked,) = pl.pallas_call(
-        partial(_occluded_kernel, det_eps, l, b),
+        partial(_occluded_kernel, det_eps, l, ls, b),
         out_shape=[jax.ShapeDtypeStruct((rp, 1), jnp.int32)],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rays, tri_rows, grid.tri_index, order, entry)
+    )(rays, tri_rows, grid.tri_index, aabb_rows, order, entry)
     return blocked[:r, 0] > 0

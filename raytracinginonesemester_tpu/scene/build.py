@@ -102,8 +102,9 @@ class Scene:
         default_factory=lambda: jnp.zeros(3, dtype=jnp.float32)
     )
     accel: object = None  # Optional[ops.accel.BlockGrid]
-    # trace through the fused Pallas kernels instead of the XLA block path
-    use_pallas: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # Pallas kernels vs the XLA block path: None = auto (Pallas on TPU,
+    # XLA elsewhere — interpret-mode Pallas is only for tests)
+    use_pallas: object = dataclasses.field(default=None, metadata=dict(static=True))
 
 
 def build_scene(config: SceneConfig, scene_path: str = ".", accel: str = "blocks") -> Scene:

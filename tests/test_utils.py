@@ -1,0 +1,84 @@
+"""utils + multihost helper tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from raytracinginonesemester_tpu.utils.logging import MetricsLogger, progress_bar
+from raytracinginonesemester_tpu.utils.timing import (
+    Timer,
+    measure,
+    rays_per_second,
+    sync,
+)
+
+
+def test_timer_and_sync():
+    with Timer("t") as t:
+        t.result = jnp.ones((64, 64)) * 2.0
+    assert t.seconds >= 0.0
+
+
+def test_measure():
+    f = jax.jit(lambda x: jnp.sum(x * 2))
+    stats = measure(f, jnp.ones(128), warmup=1, iters=3)
+    assert stats["iters"] == 3
+    assert stats["min_s"] <= stats["median_s"] <= stats["max_s"]
+
+
+def test_rays_per_second():
+    m = rays_per_second(1920, 1080, 2, 0.5, waves=4)
+    assert m["camera_rays_per_s"] == pytest.approx(1920 * 1080 * 2 / 0.5)
+    assert m["traced_rays_per_s_est"] == pytest.approx(1920 * 1080 * 2 * 4 / 0.5)
+
+
+def test_metrics_logger(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    log = MetricsLogger(path, echo=False)
+    log.log("step", loss=0.5, i=3)
+    log.log("done", loss=0.1)
+    log.close()
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["event"] == "step" and lines[0]["loss"] == 0.5
+    assert lines[1]["event"] == "done"
+
+
+def test_progress_bar():
+    s = progress_bar(20, 40, width=10)
+    assert "50%" in s and s.count("=") == 5
+
+
+def test_multihost_single_process():
+    from raytracinginonesemester_tpu.parallel.multihost import (
+        host_chip_mesh,
+        initialize_multihost,
+        is_multihost,
+    )
+
+    assert initialize_multihost() is False  # no coordinator env
+    assert not is_multihost()
+    mesh = host_chip_mesh(model_parallel_per_host=2)
+    assert mesh.shape["data"] * mesh.shape["model"] == jax.device_count()
+    assert mesh.shape["model"] == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from raytracinginonesemester_tpu.diff.checkpoint import (
+        latest_step,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, 3, {"a": jnp.arange(4.0)}, opt_state={"m": jnp.zeros(2)},
+                    losses=[2.0, 1.0])
+    save_checkpoint(d, 7, {"a": jnp.arange(4.0) * 2}, losses=[0.5])
+    assert latest_step(d) == 7
+    step, params, _, losses = load_checkpoint(d)
+    assert step == 7 and losses == [0.5]
+    np.testing.assert_allclose(np.asarray(params["a"]), [0, 2, 4, 6])
