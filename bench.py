@@ -26,7 +26,7 @@ def main():
     ap.add_argument("--spp", type=int, default=1)
     ap.add_argument("--bounces", type=int, default=4)
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--ray-tile", type=int, default=262144)
+    ap.add_argument("--ray-tile", type=int, default=2073600)
     ap.add_argument("--quick", action="store_true",
                     help="small frame for a fast sanity run")
     ap.add_argument("--no-pallas", action="store_true",
@@ -66,6 +66,21 @@ def main():
         f"{scene.geometry.num_triangles} tris, {scene.accel.num_blocks} blocks",
         file=sys.stderr,
     )
+
+    # LBVH build time — the reference's other headline metric
+    # (main.cu:281-293 GPU / :306-317 CPU), measured with the same
+    # warmup-then-sync discipline.
+    import jax.numpy as _jnp
+
+    from raytracinginonesemester_tpu.ops.lbvh import build_lbvh
+    from raytracinginonesemester_tpu.utils.timing import measure
+
+    lbvh_stats = measure(
+        lambda v: build_lbvh(v).aabb_min, scene.geometry.vertices,
+        warmup=1, iters=3,
+    )
+    print(f"LBVH build ({scene.geometry.padded_triangles} tris): "
+          f"{lbvh_stats['median_s'] * 1e3:.2f} ms", file=sys.stderr)
 
     import jax.numpy as jnp
 

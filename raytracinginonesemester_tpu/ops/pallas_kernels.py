@@ -176,9 +176,6 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
         at_min = t == min_t
         id_key = jnp.where(at_min & (ids >= 0), ids, _INT_MAX)
         best_id = jnp.min(id_key, axis=1, keepdims=True)
-        pick = at_min & (id_key == best_id)
-        sel_u = jnp.sum(jnp.where(pick, u, 0.0), axis=1, keepdims=True)
-        sel_v = jnp.sum(jnp.where(pick, v, 0.0), axis=1, keepdims=True)
 
         old_t = t_out[:]
         old_idx = idx_out[:]
@@ -187,43 +184,54 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
             (min_t < old_t) | ((min_t == old_t) & (best_id < old_key))
         )
         t_out[:] = jnp.where(take, min_t, old_t)
-        u_out[:] = jnp.where(take, sel_u, u_out[:])
-        v_out[:] = jnp.where(take, sel_v, v_out[:])
         idx_out[:] = jnp.where(take, best_id, old_idx)
 
-        if with_normals:
-            # gpu-dialect shading-normal hygiene (query.h:113-126) done
-            # in-kernel from VMEM-resident planes: per-lane interpolation,
-            # geometric sidedness, zero-length fallback, hemisphere
-            # alignment — then one pick-reduction per component.  This
-            # replaces 2M-ray HBM gathers of vertex/normal data.
-            nrm = tuple(
-                norm_ref[pl.ds(k_ * num_blocks + b, 1), :] for k_ in range(12)
-            )
-            n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z, gx, gy, gz = nrm
-            w = 1.0 - u - v
-            snx = w * n0x + u * n1x + v * n2x
-            sny = w * n0y + u * n1y + v * n2y
-            snz = w * n0z + u * n1z + v * n2z
-            dx, dy, dz = d
-            dg = dx * gx + dy * gy + dz * gz
-            gsign = jnp.where(dg < 0.0, 1.0, -1.0)  # orient against ray
-            ogx, ogy, ogz = gx * gsign, gy * gsign, gz * gsign
-            len_sq = snx * snx + sny * sny + snz * snz
-            inv_len = jax.lax.rsqrt(jnp.maximum(len_sq, 1e-38))
-            use_geom = len_sq < 1e-12
-            snx = jnp.where(use_geom, ogx, snx * inv_len)
-            sny = jnp.where(use_geom, ogy, sny * inv_len)
-            snz = jnp.where(use_geom, ogz, snz * inv_len)
-            flip = (snx * ogx + sny * ogy + snz * ogz) < 0.0
-            fsign = jnp.where(flip, -1.0, 1.0)
-            snx, sny, snz = snx * fsign, sny * fsign, snz * fsign
-            sel_nx = jnp.sum(jnp.where(pick, snx, 0.0), axis=1, keepdims=True)
-            sel_ny = jnp.sum(jnp.where(pick, sny, 0.0), axis=1, keepdims=True)
-            sel_nz = jnp.sum(jnp.where(pick, snz, 0.0), axis=1, keepdims=True)
-            nx_out[:] = jnp.where(take, sel_nx, nx_out[:])
-            ny_out[:] = jnp.where(take, sel_ny, ny_out[:])
-            nz_out[:] = jnp.where(take, sel_nz, nz_out[:])
+        # the expensive lane-selection reductions (u, v, normal) only run
+        # when the block actually improved some ray; under front-to-back
+        # order most later visits don't
+        @pl.when(jnp.any(take))
+        def _():
+            pick = at_min & (id_key == best_id)
+            sel_u = jnp.sum(jnp.where(pick, u, 0.0), axis=1, keepdims=True)
+            sel_v = jnp.sum(jnp.where(pick, v, 0.0), axis=1, keepdims=True)
+            u_out[:] = jnp.where(take, sel_u, u_out[:])
+            v_out[:] = jnp.where(take, sel_v, v_out[:])
+
+            if with_normals:
+                # gpu-dialect shading-normal hygiene (query.h:113-126)
+                # done in-kernel from VMEM-resident planes: per-lane
+                # interpolation, geometric sidedness, zero-length
+                # fallback, hemisphere alignment — then one
+                # pick-reduction per component.  This replaces 2M-ray
+                # HBM gathers of vertex/normal data.
+                nrm = tuple(
+                    norm_ref[pl.ds(k_ * num_blocks + b, 1), :]
+                    for k_ in range(12)
+                )
+                n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z, gx, gy, gz = nrm
+                w = 1.0 - u - v
+                snx = w * n0x + u * n1x + v * n2x
+                sny = w * n0y + u * n1y + v * n2y
+                snz = w * n0z + u * n1z + v * n2z
+                dx, dy, dz = d
+                dg = dx * gx + dy * gy + dz * gz
+                gsign = jnp.where(dg < 0.0, 1.0, -1.0)  # orient against ray
+                ogx, ogy, ogz = gx * gsign, gy * gsign, gz * gsign
+                len_sq = snx * snx + sny * sny + snz * snz
+                inv_len = jax.lax.rsqrt(jnp.maximum(len_sq, 1e-38))
+                use_geom = len_sq < 1e-12
+                snx = jnp.where(use_geom, ogx, snx * inv_len)
+                sny = jnp.where(use_geom, ogy, sny * inv_len)
+                snz = jnp.where(use_geom, ogz, snz * inv_len)
+                flip = (snx * ogx + sny * ogy + snz * ogz) < 0.0
+                fsign = jnp.where(flip, -1.0, 1.0)
+                snx, sny, snz = snx * fsign, sny * fsign, snz * fsign
+                sel_nx = jnp.sum(jnp.where(pick, snx, 0.0), axis=1, keepdims=True)
+                sel_ny = jnp.sum(jnp.where(pick, sny, 0.0), axis=1, keepdims=True)
+                sel_nz = jnp.sum(jnp.where(pick, snz, 0.0), axis=1, keepdims=True)
+                nx_out[:] = jnp.where(take, sel_nx, nx_out[:])
+                ny_out[:] = jnp.where(take, sel_ny, ny_out[:])
+                nz_out[:] = jnp.where(take, sel_nz, nz_out[:])
 
     def body(k):
         sb = order_ref[row, k]
