@@ -42,7 +42,8 @@ from jax import Array
 from .intersect import F32_MAX, HitData
 from .lbvh import morton_codes, triangle_aabbs
 
-__all__ = ["BlockGrid", "build_block_grid", "block_closest", "block_occluded"]
+__all__ = ["BlockGrid", "build_block_grid", "block_closest", "block_occluded",
+           "tile_visit_plan", "tile_visit_plan_fast"]
 
 
 @jax.tree_util.register_dataclass
@@ -324,6 +325,90 @@ def tile_visit_plan(origins, dirs, grid: BlockGrid, tmin, tmax, ray_tile: int):
     entry_tile = jnp.min(entry, axis=1)  # (NT, LS)
     active = jnp.any(hit.reshape(nt, ray_tile, ls), axis=1)
     count = jnp.sum(active.astype(jnp.int32), axis=1, keepdims=True)
+    order = jnp.argsort(entry_tile, axis=1).astype(jnp.int32)
+    sorted_entry = jnp.take_along_axis(entry_tile, order, axis=1).astype(jnp.float32)
+    return order, sorted_entry, count
+
+
+# Origins at/above this are "parked" lanes (dead rays, padding); they are
+# excluded from interval bounds so one dead lane doesn't blow up a tile's
+# hull (renderer parks at 1e30).
+PARK_THRESHOLD = 1e29
+
+
+def tile_visit_plan_fast(origins, dirs, grid: BlockGrid, tmin, tmax,
+                         ray_tile: int):
+    """Interval-arithmetic tile plan: same contract as ``tile_visit_plan``
+    at ~1/ray_tile of the cost.
+
+    Instead of slab-testing every ray against every superblock (an
+    (R, LS) grid), bound each tile's live rays with interval boxes —
+    [o_lo, o_hi], [d_lo, d_hi], [tmin_lo, tmax_hi] — and run ONE
+    interval slab test per (tile, superblock): (NT, LS) work.  Interval
+    arithmetic makes the test conservative (every ray a real slab test
+    would pass also passes here, and the returned entry is a true lower
+    bound of any ray's entry distance), so the kernel's culling and
+    front-to-back early exit stay exact: images are bit-identical to the
+    per-ray plan.  Direction intervals straddling zero get (-inf, inf)
+    slab spans — incoherent tiles degrade to visit-everything, which the
+    kernel's own per-block slab tests then prune.
+    """
+    r = origins.shape[0]
+    assert r % ray_tile == 0
+    nt = r // ray_tile
+    saabb = super_aabbs(grid)  # (6, LS)
+    ls = saabb.shape[1]
+
+    live = (origins[:, 0] < PARK_THRESHOLD).reshape(nt, ray_tile, 1)
+    o3 = origins.reshape(nt, ray_tile, 3)
+    d3 = dirs.reshape(nt, ray_tile, 3)
+    o_lo = jnp.min(jnp.where(live, o3, jnp.inf), axis=1)  # (nt, 3)
+    o_hi = jnp.max(jnp.where(live, o3, -jnp.inf), axis=1)
+    d_lo = jnp.min(jnp.where(live, d3, jnp.inf), axis=1)
+    d_hi = jnp.max(jnp.where(live, d3, -jnp.inf), axis=1)
+
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+    lv = live[..., 0]
+    tn_lo = jnp.min(jnp.where(lv, tmin.reshape(nt, ray_tile), jnp.inf), axis=1)
+    tx_hi = jnp.max(jnp.where(lv, tmax.reshape(nt, ray_tile), -jnp.inf), axis=1)
+    any_live = jnp.any(lv, axis=1)  # (nt,)
+
+    near_all = tn_lo[:, None]
+    far_all = tx_hi[:, None]
+
+    def imul(alo, ahi, blo, bhi):
+        p1, p2, p3, p4 = alo * blo, alo * bhi, ahi * blo, ahi * bhi
+        return (
+            jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+            jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)),
+        )
+
+    for axis in range(3):
+        blo = saabb[axis][None, :]
+        bhi = saabb[axis + 3][None, :]
+        olo, ohi = o_lo[:, axis:axis + 1], o_hi[:, axis:axis + 1]
+        dlo, dhi = d_lo[:, axis:axis + 1], d_hi[:, axis:axis + 1]
+        spans0 = (dlo <= 0.0) & (dhi >= 0.0)
+        # same-sign interval reciprocal is [1/dhi, 1/dlo]
+        inv_a, inv_b = 1.0 / dhi, 1.0 / dlo
+        p1lo, p1hi = imul(blo - ohi, blo - olo, inv_a, inv_b)
+        p2lo, p2hi = imul(bhi - ohi, bhi - olo, inv_a, inv_b)
+        near_lo = jnp.minimum(p1lo, p2lo)
+        far_hi = jnp.maximum(p1hi, p2hi)
+        # widen by a few ulps: round-to-nearest f32 interval arithmetic
+        # may under-cover; culling must stay conservative (cf. the
+        # per-ray test's Ize far stretch)
+        near_lo = near_lo - jnp.abs(near_lo) * 4e-7
+        far_hi = far_hi + jnp.abs(far_hi) * 4e-7
+        bad = spans0 | jnp.isnan(near_lo) | jnp.isnan(far_hi)
+        near_all = jnp.maximum(near_all, jnp.where(bad, -jnp.inf, near_lo))
+        far_all = jnp.minimum(far_all, jnp.where(bad, jnp.inf, far_hi))
+
+    valid_box = (saabb[0] <= saabb[3])[None, :]  # padded supers never hit
+    hit = (near_all <= far_all) & valid_box & any_live[:, None]
+    entry_tile = jnp.where(hit, near_all, jnp.inf)
+    count = jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True)
     order = jnp.argsort(entry_tile, axis=1).astype(jnp.int32)
     sorted_entry = jnp.take_along_axis(entry_tile, order, axis=1).astype(jnp.float32)
     return order, sorted_entry, count

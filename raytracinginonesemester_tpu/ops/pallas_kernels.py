@@ -20,14 +20,19 @@ the whole scene.  This is the TPU equivalent of ``renderBatchCUDA``
 (``query.cu:12-66``): one fused kernel per wavefront, per-thread
 running-best state, acceleration structure shared by all lanes.
 
-Layout rules (everything 2D for Mosaic):
+Layout rules (everything 2D for Mosaic) — TWO ray layouts, each matched
+to the ops that consume it:
 
-- rays arrive as (R, 8) [ox oy oz dx dy dz tmin tmax]; a program's tile
-  is (RAY_TILE, 8) and each component column reads as (RAY_TILE, 1);
-- triangle planes are (9*L, B): row k*L+b holds plane k of block b, so a
-  block slice is a native (1, B) row read — sublanes = rays,
-  lanes = triangles, the 8x128 VPU shape;
-- per-ray outputs are (R, 1) columns.
+- **sublane-major** (RAY_TILE, 1) columns feed the dense triangle test:
+  sublanes = rays broadcast against lanes = triangles, the 8x128 VPU
+  shape.  Triangle planes are (9*L, B): row k*L+b holds plane k of
+  block b, a native (1, B) row read.
+- **lane-major** (1, RAY_TILE) rows carry everything *per-ray*: slab
+  tests, the running-best t, shadow blocked masks.  A (RAY_TILE, 1)
+  column uses 1 of 128 VPU lanes — per-ray bookkeeping in that layout
+  runs at <1% width and dominated the kernel before this split.  The
+  two layouts meet only on improving visits (one (R,1)->(1,R) relayout
+  each), which front-to-back ordering makes rare.
 
 VMEM budget: planes cost 36 B/triangle, so scenes to ~280k triangles fit
 comfortably; callers fall back to the XLA path beyond ``fits_vmem``.
@@ -45,7 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .intersect import F32_MAX, HitData
-from .accel import BlockGrid, tile_visit_plan
+from .accel import BlockGrid, tile_visit_plan_fast
 
 __all__ = ["fits_vmem", "pallas_block_closest", "pallas_block_occluded", "RAY_TILE"]
 
@@ -98,6 +103,7 @@ def _mt_block(o, d, tri, det_eps, tmin, tmax):
 
 
 def _load_rays(rays_ref):
+    """Sublane-major loads: (RAY_TILE, 1) columns for the dense test."""
     o = tuple(rays_ref[:, k].reshape(-1, 1) for k in range(3))
     d = tuple(rays_ref[:, k].reshape(-1, 1) for k in range(3, 6))
     tmin = rays_ref[:, 6].reshape(-1, 1)
@@ -105,9 +111,29 @@ def _load_rays(rays_ref):
     return o, d, tmin, tmax
 
 
+def _load_rays_lane(lane_ref):
+    """Lane-major loads: (1, RAY_TILE) rows for slab tests/bookkeeping."""
+    o = tuple(lane_ref[pl.ds(k, 1), :] for k in range(3))
+    d = tuple(lane_ref[pl.ds(k, 1), :] for k in range(3, 6))
+    tmin = lane_ref[pl.ds(6, 1), :]
+    tmax = lane_ref[pl.ds(7, 1), :]
+    return o, d, tmin, tmax
+
+
+def _to_lane(col):
+    """(R, 1) sublane-major -> (1, R) lane-major relayout."""
+    return col.reshape(1, -1)
+
+
+def _to_col(lane):
+    """(1, R) lane-major -> (R, 1) sublane-major relayout."""
+    return lane.reshape(-1, 1)
+
+
 def _tile_slab(aabb_ref, b, o, inv_d, tmin, tmax):
-    """Per-tile slab test vs block AABB row ``b`` (clamped read) ->
-    (RAY_TILE, 1) bool."""
+    """Slab test vs block AABB row ``b``; layout-agnostic elementwise
+    math — pass lane-major (1, R) components (the fast path) or
+    sublane-major (R, 1)."""
     arow = aabb_ref[pl.ds(b, 1), :]
     t0, t1 = tmin, tmax
     for axis in range(3):
@@ -124,13 +150,16 @@ def _tile_slab(aabb_ref, b, o, inv_d, tmin, tmax):
 
 def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
                     n_shadow, shadow_eps, shadow_tmin,
-                    rays_ref, tri_ref, norm_ref, ids_ref, aabb_ref,
+                    rays_ref, lane_ref, tri_ref, norm_ref, ids_ref, aabb_ref,
                     order_ref, entry_ref, *rest):
     if n_shadow:
         lights_ref = rest[0]
-        outs = rest[1:]
-    else:
-        outs = rest
+        rest = rest[1:]
+    n_scratch = 1 + (1 if n_shadow else 0)
+    outs, scratch = rest[:-n_scratch], rest[-n_scratch:]
+    t_lane = scratch[0]  # (1, RT) running best, lane-major
+    if n_shadow:
+        blk_lane = scratch[1]  # (1, RT) shadow blocked accumulator
     if n_shadow:
         t_out, u_out, v_out, idx_out, nx_out, ny_out, nz_out, vis_out = outs
     elif with_normals:
@@ -138,10 +167,12 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
     else:
         t_out, u_out, v_out, idx_out = outs
     o, d, tmin, _ = _load_rays(rays_ref)
-    inv_d = tuple(1.0 / c for c in d)
+    o_l, d_l, tmin_l, _ = _load_rays_lane(lane_ref)
+    inv_l = tuple(1.0 / c for c in d_l)
     rt = t_out.shape[0]
 
     t_out[:] = jnp.full((rt, 1), F32_MAX, jnp.float32)
+    t_lane[:] = jnp.full((1, rt), F32_MAX, jnp.float32)
     u_out[:] = jnp.zeros((rt, 1), jnp.float32)
     v_out[:] = jnp.zeros((rt, 1), jnp.float32)
     idx_out[:] = jnp.full((rt, 1), -1, jnp.int32)
@@ -160,7 +191,7 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
         # superblocks, so the entry test doubles as the count bound
         in_range = k < num_supers
         next_entry = entry_ref[row, jnp.minimum(k, num_supers - 1)]
-        return in_range & (next_entry <= jnp.max(t_out[:]))
+        return in_range & (next_entry <= jnp.max(t_lane[:]))
 
     def visit_block(b):
         """Dense triangle test of one block, updating the running best."""
@@ -183,14 +214,16 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
         take = (min_t < F32_MAX) & (
             (min_t < old_t) | ((min_t == old_t) & (best_id < old_key))
         )
-        t_out[:] = jnp.where(take, min_t, old_t)
-        idx_out[:] = jnp.where(take, best_id, old_idx)
 
-        # the expensive lane-selection reductions (u, v, normal) only run
-        # when the block actually improved some ray; under front-to-back
-        # order most later visits don't
+        # the expensive lane-selection reductions (u, v, normal) and the
+        # state writes only run when the block improved some ray; under
+        # front-to-back order most later visits don't
         @pl.when(jnp.any(take))
         def _():
+            new_t = jnp.where(take, min_t, old_t)
+            t_out[:] = new_t
+            t_lane[:] = _to_lane(new_t)
+            idx_out[:] = jnp.where(take, best_id, old_idx)
             pick = at_min & (id_key == best_id)
             sel_u = jnp.sum(jnp.where(pick, u, 0.0), axis=1, keepdims=True)
             sel_v = jnp.sum(jnp.where(pick, v, 0.0), axis=1, keepdims=True)
@@ -238,7 +271,7 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
         for j in range(SUPER):
             b = sb * SUPER + j
             b_c = jnp.minimum(b, num_blocks - 1)  # clamp OOB tail reads
-            boxed = _tile_slab(aabb_ref, b_c, o, inv_d, tmin, t_out[:])
+            boxed = _tile_slab(aabb_ref, b_c, o_l, inv_l, tmin_l, t_lane[:])
             do_visit = jnp.any(boxed) & (b < num_blocks)
 
             @pl.when(do_visit)
@@ -255,52 +288,48 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
         # ray at the hit point offset along the shading normal
         # (p + N*RT_EPS, shader.h:57) and any-hit test blocks with
         # per-tile slab culling.  Non-hit lanes park at 1e30 so empty
-        # tiles exit after the slab sweep.
+        # tiles exit after the slab sweep.  All per-ray state here is
+        # lane-major; only the dense triangle test under pl.when touches
+        # the sublane-major copies.
         ox, oy, oz = o
         dx, dy, dz = d
         t_hit = t_out[:]
-        hit_mask = idx_out[:] >= 0
-        px = jnp.where(hit_mask, ox + t_hit * dx + nx_out[:] * shadow_eps, 1e30)
-        py = jnp.where(hit_mask, oy + t_hit * dy + ny_out[:] * shadow_eps, 1e30)
-        pz = jnp.where(hit_mask, oz + t_hit * dz + nz_out[:] * shadow_eps, 1e30)
+        hit_c = idx_out[:] >= 0
+        px_c = jnp.where(hit_c, ox + t_hit * dx + nx_out[:] * shadow_eps, 1e30)
+        py_c = jnp.where(hit_c, oy + t_hit * dy + ny_out[:] * shadow_eps, 1e30)
+        pz_c = jnp.where(hit_c, oz + t_hit * dz + nz_out[:] * shadow_eps, 1e30)
+        hit_l = t_lane[:] < F32_MAX
+        px_l, py_l, pz_l = _to_lane(px_c), _to_lane(py_c), _to_lane(pz_c)
+        s_tmin_c = jnp.full((rt, 1), shadow_tmin, jnp.float32)
+        s_tmin_l = jnp.full((1, rt), shadow_tmin, jnp.float32)
 
         for li in range(n_shadow):
             lx = lights_ref[li, 0]
             ly = lights_ref[li, 1]
             lz = lights_ref[li, 2]
-            tox, toy, toz = lx - px, ly - py, lz - pz
-            dist = jnp.sqrt(jnp.maximum(tox * tox + toy * toy + toz * toz, 1e-38))
-            inv_dist = 1.0 / dist
-            sdx, sdy, sdz = tox * inv_dist, toy * inv_dist, toz * inv_dist
-            six, siy, siz = 1.0 / sdx, 1.0 / sdy, 1.0 / sdz
-            so = (px, py, pz)
-            sd = (sdx, sdy, sdz)
-            si = (six, siy, siz)
+            tox_l, toy_l, toz_l = lx - px_l, ly - py_l, lz - pz_l
+            dist_l = jnp.sqrt(jnp.maximum(
+                tox_l * tox_l + toy_l * toy_l + toz_l * toz_l, 1e-38))
+            inv_dist = 1.0 / dist_l
+            sdx_l, sdy_l, sdz_l = (tox_l * inv_dist, toy_l * inv_dist,
+                                   toz_l * inv_dist)
+            so_l = (px_l, py_l, pz_l)
+            si_l = (1.0 / sdx_l, 1.0 / sdy_l, 1.0 / sdz_l)
+            # sublane-major copies for the dense test
+            so_c = (px_c, py_c, pz_c)
+            sd_c = (_to_col(sdx_l), _to_col(sdy_l), _to_col(sdz_l))
+            dist_c = _to_col(dist_l)
 
-            # the vis column doubles as the "blocked" accumulator during
-            # the loop (Mosaic has no value-carrying conditionals; state
-            # lives in the ref so @pl.when can guard the triangle test)
-            vis_out[:, li:li + 1] = jnp.zeros_like(dist)
+            blk_lane[:] = jnp.zeros((1, rt), jnp.float32)
 
             def s_cond(k):
-                blocked = vis_out[:, li:li + 1] > 0.0
-                return (k < num_blocks) & jnp.any(hit_mask & ~blocked)
+                return (k < num_blocks) & jnp.any(hit_l & (blk_lane[:] == 0.0))
 
             def s_body(k):
-                blocked = vis_out[:, li:li + 1] > 0.0
-                arow = aabb_ref[pl.ds(k, 1), :]
-                t0 = jnp.full_like(dist, shadow_tmin)
-                t1 = dist
-                for axis in range(3):
-                    lo = (arow[0, axis] - so[axis]) * si[axis]
-                    hi = (arow[0, axis + 3] - so[axis]) * si[axis]
-                    near = jnp.minimum(lo, hi)
-                    far = jnp.maximum(lo, hi)
-                    near = jnp.where(jnp.isnan(near), -jnp.inf, near)
-                    far = jnp.where(jnp.isnan(far), jnp.inf, far * 1.0000004)
-                    t0 = jnp.maximum(t0, near)
-                    t1 = jnp.minimum(t1, far)
-                boxed = (t0 <= t1) & hit_mask & ~blocked
+                boxed = (
+                    _tile_slab(aabb_ref, k, so_l, si_l, s_tmin_l, dist_l)
+                    & hit_l & (blk_lane[:] == 0.0)
+                )
 
                 @pl.when(jnp.any(boxed))
                 def _():
@@ -309,19 +338,19 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
                         for k_ in range(9)
                     )
                     ids = ids_ref[pl.ds(k, 1), :]
-                    ts, _, _ = _mt_block(so, sd, tri, det_eps,
-                                         jnp.full_like(dist, shadow_tmin), dist)
+                    ts, _, _ = _mt_block(so_c, sd_c, tri, det_eps,
+                                         s_tmin_c, dist_c)
                     ts = jnp.where(ids >= 0, ts, F32_MAX)
                     s_hit = jnp.min(ts, axis=1, keepdims=True) < F32_MAX
-                    vis_out[:, li:li + 1] = jnp.maximum(
-                        vis_out[:, li:li + 1], s_hit.astype(jnp.float32)
+                    blk_lane[:] = jnp.maximum(
+                        blk_lane[:], _to_lane(s_hit.astype(jnp.float32))
                     )
 
                 return k + 1
 
             jax.lax.while_loop(s_cond, s_body, jnp.int32(0))
-            blocked = vis_out[:, li:li + 1] > 0.0
-            vis_out[:, li:li + 1] = jnp.where(hit_mask & ~blocked, 1.0, 0.0)
+            vis_l = jnp.where(hit_l & (blk_lane[:] == 0.0), 1.0, 0.0)
+            vis_out[:, li:li + 1] = _to_col(vis_l)
 
 
 def _pad_plan_rows(order, entry):
@@ -350,6 +379,18 @@ def _prep_rays(origins, dirs, tmin, tmax):
         filler = jnp.full((pad, 8), 1.0, jnp.float32).at[:, 0:3].set(1e30)
         rays = jnp.concatenate([rays, filler])
     return rays, r + pad
+
+
+def _lane_major_rays(rays, ray_tile):
+    """(RP, 8) -> (8*NT, RT): per tile, components on sublanes and rays
+    on lanes — the layout every per-ray kernel op wants."""
+    rp = rays.shape[0]
+    nt = rp // ray_tile
+    return (
+        rays.reshape(nt, ray_tile, 8)
+        .transpose(0, 2, 1)
+        .reshape(nt * 8, ray_tile)
+    )
 
 
 @partial(jax.jit, static_argnames=(
@@ -386,20 +427,22 @@ def pallas_block_closest(
     if n_shadow:
         return_normal = True
     rays, rp = _prep_rays(origins, dirs, tmin, F32_MAX)
-    order, entry, _ = tile_visit_plan(
+    lane = _lane_major_rays(rays, RAY_TILE)
+    order, entry, _ = tile_visit_plan_fast(
         rays[:, 0:3], rays[:, 3:6], grid, rays[:, 6], rays[:, 7], RAY_TILE
     )
     order, entry = _pad_plan_rows(order, entry)
     ls = order.shape[1]
     tri_rows = grid.tri.reshape(9 * l, b)
     norm_rows = grid.norm.reshape(12 * l, b)
-    aabb_rows = jnp.pad(grid.aabb.T, ((0, 0), (0, 2)))  # (L, 8)
+    aabb_rows = jnp.pad(grid.aabb.T, (((0, (-l) % 8)), (0, 2)))  # (Lp, 8)
 
     out_col = lambda: pl.BlockSpec(
         (RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     in_specs = [
         pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows (9L, B)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # norm rows (12L, B)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # ids (L, B)
@@ -410,7 +453,8 @@ def pallas_block_closest(
         pl.BlockSpec((8, ls), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((8, ls), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
     ]
-    inputs = [rays, tri_rows, norm_rows, grid.tri_index, aabb_rows, order, entry]
+    inputs = [rays, lane, tri_rows, norm_rows, grid.tri_index, aabb_rows,
+              order, entry]
     if n_shadow:
         lights_pad = jnp.pad(
             jnp.asarray(shadow_lights, jnp.float32), ((0, 0), (0, 5))
@@ -430,8 +474,13 @@ def pallas_block_closest(
                          memory_space=pltpu.VMEM)
         )
 
+    scratch_shapes = [pltpu.VMEM((1, RAY_TILE), jnp.float32)]  # t_lane
+    if n_shadow:
+        scratch_shapes.append(pltpu.VMEM((1, RAY_TILE), jnp.float32))  # blk
+
     grid_spec = pl.GridSpec(
-        grid=(rp // RAY_TILE,), in_specs=in_specs, out_specs=out_specs
+        grid=(rp // RAY_TILE,), in_specs=in_specs, out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
     )
     outs = pl.pallas_call(
         partial(_closest_kernel, det_eps, l, ls, b, return_normal, n_shadow,
@@ -454,27 +503,32 @@ def pallas_block_closest(
 
 
 def _occluded_kernel(det_eps, num_blocks, num_supers, block_size,
-                     rays_ref, tri_ref, ids_ref, aabb_ref,
-                     order_ref, entry_ref, out_ref):
+                     rays_ref, lane_ref, tri_ref, ids_ref, aabb_ref,
+                     order_ref, entry_ref, out_ref, blk_lane):
     o, d, tmin, tmax = _load_rays(rays_ref)
-    inv_d = tuple(1.0 / c for c in d)
+    o_l, d_l, tmin_l, tmax_l = _load_rays_lane(lane_ref)
+    inv_l = tuple(1.0 / c for c in d_l)
     rt = out_ref.shape[0]
-    out_ref[:] = jnp.zeros((rt, 1), jnp.int32)
+    blk_lane[:] = jnp.zeros((1, rt), jnp.float32)
     row = jax.lax.rem(pl.program_id(0), 8)
     from .accel import SUPER
 
     def cond(k):
         in_range = k < num_supers
         next_entry = entry_ref[row, jnp.minimum(k, num_supers - 1)]
-        return in_range & (next_entry < jnp.inf) & jnp.any(out_ref[:] == 0)
+        return (in_range & (next_entry < jnp.inf)
+                & jnp.any(blk_lane[:] == 0.0))
 
     def body(k):
         sb = order_ref[row, k]
         for j in range(SUPER):
             b = sb * SUPER + j
             b_c = jnp.minimum(b, num_blocks - 1)
-            unresolved = out_ref[:] == 0
-            boxed = _tile_slab(aabb_ref, b_c, o, inv_d, tmin, tmax) & unresolved
+            unresolved = blk_lane[:] == 0.0
+            boxed = (
+                _tile_slab(aabb_ref, b_c, o_l, inv_l, tmin_l, tmax_l)
+                & unresolved
+            )
             do_visit = jnp.any(boxed) & (b < num_blocks)
 
             @pl.when(do_visit)
@@ -486,12 +540,16 @@ def _occluded_kernel(det_eps, num_blocks, num_supers, block_size,
                 ids = ids_ref[pl.ds(b_c, 1), :]
                 t, _, _ = _mt_block(o, d, tri, det_eps, tmin, tmax)
                 t = jnp.where(ids >= 0, t, F32_MAX)
-                hit = jnp.any(t < F32_MAX, axis=1, keepdims=True)
-                out_ref[:] = jnp.maximum(out_ref[:], hit.astype(jnp.int32))
+                hit = jnp.min(t, axis=1, keepdims=True) < F32_MAX
+                blk_lane[:] = jnp.maximum(
+                    blk_lane[:], _to_lane(hit.astype(jnp.float32))
+                )
 
         return k + 1
 
     jax.lax.while_loop(cond, body, jnp.int32(0))
+    # relayout the f32 mask, not the bool: Mosaic only reshapes 32-bit
+    out_ref[:] = (_to_col(blk_lane[:]) > 0.0).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("det_eps", "interpret"))
@@ -511,18 +569,20 @@ def pallas_block_occluded(
     r = origins.shape[0]
     l, b = grid.tri_index.shape
     rays, rp = _prep_rays(origins, dirs, tmin, tmax)
-    order, entry, _ = tile_visit_plan(
+    lane = _lane_major_rays(rays, RAY_TILE)
+    order, entry, _ = tile_visit_plan_fast(
         rays[:, 0:3], rays[:, 3:6], grid, rays[:, 6], rays[:, 7], RAY_TILE
     )
     order, entry = _pad_plan_rows(order, entry)
     ls = order.shape[1]
     tri_rows = grid.tri.reshape(9 * l, b)
-    aabb_rows = jnp.pad(grid.aabb.T, ((0, 0), (0, 2)))  # (L, 8)
+    aabb_rows = jnp.pad(grid.aabb.T, (((0, (-l) % 8)), (0, 2)))  # (Lp, 8)
 
     grid_spec = pl.GridSpec(
         grid=(rp // RAY_TILE,),
         in_specs=[
             pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ids
             pl.BlockSpec(memory_space=pltpu.VMEM),  # aabb rows
@@ -532,11 +592,12 @@ def pallas_block_occluded(
         out_specs=[
             pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[pltpu.VMEM((1, RAY_TILE), jnp.float32)],
     )
     (blocked,) = pl.pallas_call(
         partial(_occluded_kernel, det_eps, l, ls, b),
         out_shape=[jax.ShapeDtypeStruct((rp, 1), jnp.int32)],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rays, tri_rows, grid.tri_index, aabb_rows, order, entry)
+    )(rays, lane, tri_rows, grid.tri_index, aabb_rows, order, entry)
     return blocked[:r, 0] > 0

@@ -21,7 +21,8 @@ import dataclasses
 
 from __graft_entry__ import _frog_scene
 from raytracinginonesemester_tpu.core import rng as rnglib
-from raytracinginonesemester_tpu.ops.accel import tile_visit_plan
+from raytracinginonesemester_tpu.ops.accel import (
+    tile_visit_plan, tile_visit_plan_fast)
 from raytracinginonesemester_tpu.ops.pallas_kernels import (
     RAY_TILE, pallas_block_closest, _prep_rays)
 from raytracinginonesemester_tpu.ops.integrator import trace_rays
@@ -56,6 +57,15 @@ def plan_only(o, d):
 
 
 @jax.jit
+def plan_fast(o, d):
+    rays, rp = _prep_rays(o, d, 1e-4, 3.4e38)
+    order, entry, count = tile_visit_plan_fast(
+        rays[:, 0:3], rays[:, 3:6], scene.accel, rays[:, 6], rays[:, 7],
+        RAY_TILE)
+    return jnp.sum(order) + jnp.sum(count)
+
+
+@jax.jit
 def kernel_only(o, d):
     hits, nrm, vis = pallas_block_closest(
         o, d, scene.accel, tmin=1e-4, det_eps=1e-8, return_normal=True,
@@ -78,6 +88,7 @@ def frame(off):
 
 for name, fn, args in [
     ("plan_only ", plan_only, (origins, dirs)),
+    ("plan_fast ", plan_fast, (origins, dirs)),
     ("kernel    ", kernel_only, (origins, dirs)),
     ("trace_full", trace_full, (origins, dirs, seeds)),
     ("frame     ", frame, (jnp.int32(1),)),

@@ -103,3 +103,60 @@ def test_kernel_normals_match_hit_frame(grid_and_rays):
     np.testing.assert_allclose(
         np.asarray(knorm)[hit], np.asarray(n_ref)[hit], rtol=1e-4, atol=1e-5
     )
+
+
+def test_interval_plan_superset_of_exact(grid_and_rays):
+    """tile_visit_plan_fast must visit a superset of the exact per-ray
+    plan's superblocks, with entry distances that lower-bound the exact
+    entries — the two properties that make it a drop-in conservative
+    replacement (bit-identical kernel results)."""
+    from raytracinginonesemester_tpu.ops.accel import (
+        tile_visit_plan, tile_visit_plan_fast)
+    from raytracinginonesemester_tpu.ops.intersect import F32_MAX
+    from raytracinginonesemester_tpu.ops.pallas_kernels import (
+        RAY_TILE, _prep_rays)
+
+    grid, o, d = grid_and_rays
+    # a coherent tile (shared origin, small cone) + the incoherent rays
+    rs = np.random.RandomState(7)
+    co = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -6.0], jnp.float32), (212, 3))
+    cd = np.concatenate(
+        [rs.uniform(-0.2, 0.2, (212, 2)), np.ones((212, 1))], axis=1
+    ).astype(np.float32)
+    cd /= np.linalg.norm(cd, axis=-1, keepdims=True)
+    o = jnp.concatenate([o, co])
+    d = jnp.concatenate([d, jnp.asarray(cd)])
+
+    rays, _ = _prep_rays(o, d, 1e-4, F32_MAX)
+    a = (rays[:, 0:3], rays[:, 3:6], grid, rays[:, 6], rays[:, 7], RAY_TILE)
+    e_order, e_entry, e_count = tile_visit_plan(*a)
+    f_order, f_entry, f_count = tile_visit_plan_fast(*a)
+
+    e_order, e_entry = np.asarray(e_order), np.asarray(e_entry)
+    f_order, f_entry = np.asarray(f_order), np.asarray(f_entry)
+    for ti in range(e_order.shape[0]):
+        exact = {int(s): float(t) for s, t in zip(e_order[ti], e_entry[ti])
+                 if np.isfinite(t)}
+        fast = {int(s): float(t) for s, t in zip(f_order[ti], f_entry[ti])
+                if np.isfinite(t)}
+        assert set(exact) <= set(fast), f"tile {ti} lost superblocks"
+        for s, t in exact.items():
+            assert fast[s] <= t + 1e-5, f"tile {ti} super {s} entry not a lower bound"
+
+
+def test_interval_plan_parked_tile_empty():
+    """A tile whose rays are all parked (origin 1e30) must plan nothing."""
+    from raytracinginonesemester_tpu.ops.accel import (
+        build_block_grid, tile_visit_plan_fast)
+
+    rs = np.random.RandomState(1)
+    tris = jnp.asarray(
+        (rs.uniform(-4, 4, (128, 1, 3)) + rs.uniform(-0.4, 0.4, (128, 3, 3)))
+        .astype(np.float32))
+    grid = build_block_grid(tris, jnp.asarray(128), block_size=128)
+    o = jnp.full((512, 3), 1e30, jnp.float32)
+    d = jnp.ones((512, 3), jnp.float32)
+    _, entry, count = tile_visit_plan_fast(
+        o, d, grid, jnp.full((512,), 1e-4), jnp.full((512,), 3.4e38), 512)
+    assert int(np.asarray(count)[0, 0]) == 0
+    assert not np.isfinite(np.asarray(entry)).any()
