@@ -26,7 +26,8 @@ def main():
     ap.add_argument("--spp", type=int, default=1)
     ap.add_argument("--bounces", type=int, default=4)
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--ray-tile", type=int, default=2073600)
+    ap.add_argument("--ray-tile", type=int, default=0,
+                    help="rays per wavefront tile; <=0 = whole frame")
     ap.add_argument("--quick", action="store_true",
                     help="small frame for a fast sanity run")
     ap.add_argument("--no-pallas", action="store_true",

@@ -46,35 +46,56 @@ def _pixel_grid(width: int, height: int):
 
 
 def _swizzled_grid(width: int, height: int, tile: int = 16):
-    """Pixel indices in tile-major (16x16) order + inverse permutation.
+    """Pixel indices in tile-major (16x16) order over a tile-padded frame.
 
     Spatially-coherent ray tiles are what make the traversal kernels'
     per-tile culling effective — the TPU analog of the reference's 16x16
-    CUDA thread blocks (``buffers.h:6-7``, ``query.cu:31-33``).  Because
-    RNG seeds derive from absolute (x, y), any pixel order produces the
-    identical image; the inverse permutation restores scanline order.
+    CUDA thread blocks (``buffers.h:6-7``, ``query.cu:31-33``).  The
+    frame pads to tile multiples (wp, hp) so the inverse mapping is a
+    pure reshape/transpose (``_unswizzle``) instead of a 2M-element
+    gather; the <2% padded pixels trace sky rays and are cropped.
+    Because RNG seeds derive from absolute (x, y), any pixel order
+    produces the identical image.
     """
-    ys, xs = np.mgrid[0:height, 0:width]
-    tiles_x = -(-width // tile)
-    tile_id = (ys // tile) * tiles_x + (xs // tile)
-    within = (ys % tile) * tile + (xs % tile)
-    key = tile_id.astype(np.int64) * (tile * tile) + within
-    order = np.argsort(key.ravel(), kind="stable")
-    inv = np.argsort(order, kind="stable")
+    wp = -(-width // tile) * tile
+    hp = -(-height // tile) * tile
+    ys, xs = np.mgrid[0:hp, 0:wp]
+
+    def swz(a):
+        return (
+            a.reshape(hp // tile, tile, wp // tile, tile)
+            .transpose(0, 2, 1, 3)
+            .ravel()
+        )
+
     return (
-        jnp.asarray(xs.ravel()[order], jnp.int32),
-        jnp.asarray(ys.ravel()[order], jnp.int32),
-        jnp.asarray(inv, jnp.int32),
+        jnp.asarray(swz(xs), jnp.int32),
+        jnp.asarray(swz(ys), jnp.int32),
+        (hp, wp),
     )
+
+
+def _unswizzle(accum: Array, width: int, height: int, hp: int, wp: int,
+               tile: int = 16) -> Array:
+    """(hp*wp, C) tile-major -> (height, width, C) scanline, by reshape."""
+    c = accum.shape[-1]
+    img = (
+        accum.reshape(hp // tile, wp // tile, tile, tile, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(hp, wp, c)
+    )
+    return img[:height, :width]
 
 
 def _tile_map(fn, args, num_rays: int, tile: int):
     """Apply ``fn`` over fixed-size ray tiles; pads the tail tile.
 
     All ``args`` leaves must have leading dim ``num_rays``; result leaves
-    keep leading dim ``num_rays``.
+    keep leading dim ``num_rays``.  ``tile <= 0`` means one whole-batch
+    tile (no padding replication — the padded filler rays are real ray
+    copies, so callers wanting a single wavefront should use this).
     """
-    tile = min(tile, num_rays)
+    tile = num_rays if tile <= 0 else min(tile, num_rays)
     padded = ((num_rays + tile - 1) // tile) * tile
     if padded != num_rays:
         args = jax.tree.map(
@@ -181,13 +202,12 @@ def render_scene(
     """
     spp = spp_override if spp_override is not None else scene.spp
     w, h = scene.camera.width, scene.camera.height
-    xs, ys, inv = _swizzled_grid(w, h)
+    xs, ys, (hp, wp) = _swizzled_grid(w, h)
     jitter_mode = resolve_jitter_mode(scene, jitter_mode, spp)
     accum = accumulate_samples(
         scene, xs, ys, spp, jitter_mode, ray_tile, sample_offset=sample_offset
     )
-    accum = accum[inv]  # back to scanline order
-    return (accum / float(spp)).reshape(h, w, 3)
+    return _unswizzle(accum, w, h, hp, wp) / float(spp)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "ray_tile"))
