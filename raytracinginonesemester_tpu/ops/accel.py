@@ -64,6 +64,7 @@ class BlockGrid:
     tri: Array  # (9, L, B) float32
     norm: Array  # (12, L, B) float32
     tri_index: Array  # (L, B) int32
+    obj: Array  # (L, B) int32 — per-triangle object id (-1 padding)
     aabb: Array  # (6, L) float32
     block_size: int = dataclasses.field(metadata=dict(static=True))
 
@@ -74,7 +75,7 @@ class BlockGrid:
 
 @partial(jax.jit, static_argnames=("block_size",))
 def build_block_grid(vertices: Array, num_valid: Array, block_size: int = 128,
-                     normals: Array = None) -> BlockGrid:
+                     normals: Array = None, obj_ids: Array = None) -> BlockGrid:
     """Build the block grid from (T, 3, 3) triangles.
 
     ``num_valid`` masks padding triangles (they sort to a dedicated tail
@@ -126,6 +127,11 @@ def build_block_grid(vertices: Array, num_valid: Array, block_size: int = 128,
 
     sorted_valid = valid[order]
     tri_index = jnp.where(sorted_valid, order, -1).reshape(l, block_size)
+    if obj_ids is None:
+        obj_ids = jnp.zeros(t, jnp.int32)
+    obj_plane = jnp.where(
+        sorted_valid, jnp.asarray(obj_ids, jnp.int32)[order], -1
+    ).reshape(l, block_size)
 
     bmin = jnp.where(sorted_valid[:, None], leaf_min[order], jnp.inf)
     bmax = jnp.where(sorted_valid[:, None], leaf_max[order], -jnp.inf)
@@ -134,7 +140,8 @@ def build_block_grid(vertices: Array, num_valid: Array, block_size: int = 128,
     aabb = jnp.concatenate([block_min.T, block_max.T])  # (6, L)
 
     return BlockGrid(
-        tri=tri, norm=norm, tri_index=tri_index, aabb=aabb, block_size=block_size
+        tri=tri, norm=norm, tri_index=tri_index, obj=obj_plane, aabb=aabb,
+        block_size=block_size,
     )
 
 

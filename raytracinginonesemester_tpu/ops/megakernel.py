@@ -1,0 +1,564 @@
+"""Fused render megakernel: the TPU restatement of ``renderBatchCUDA``.
+
+The reference's GPU render is ONE kernel per sample batch that does
+everything per pixel thread — jitter, ray generation, BVH traversal,
+shading, shadows (``GPUandCPU/include/query.cu:12-66``).  The wavefront
+integrator (``ops.integrator``) splits those stages into XLA ops with a
+Pallas traversal core, which costs ~15 ms of HBM-bound glue per 1080p
+wavefront (ray buffers, seeds, material gathers, radiance combines).
+
+This module fuses the whole sample loop into the traversal kernel for
+the common terminal case — gpu dialect, point lights, no contributing
+secondary rays (``Scene.terminal_only`` and ``diffuse_bounce=False``;
+with all kr == 0 the reference's mirror branch carries zero throughput,
+``query.h:202-206``, so skipping bounces is exact).  Per 512-ray tile:
+
+1. in-kernel per-sample wang-hash jitter + camera ray generation,
+   bit-compatible with ``core.rng.pixel_jitter`` / ``Camera.get_rays``
+   (``query.cu:36-43``, ``camera.h:49-53``);
+2. the front-to-back block traversal of ``pallas_kernels`` (same dense
+   Moller-Trumbore, tie-break, and in-kernel shading normals);
+3. in-kernel ``IsInShadow`` + ``ShadeDirect`` (``shader.h:44-110``) with
+   materials resolved by a static per-object loop — object counts are
+   tiny, so each object's scalar parameters broadcast over the tile
+   instead of per-lane gathers;
+4. spp accumulation in VMEM (the analog of the reference's 32-sample
+   register batches, ``antialias.h:39``).
+
+The traversal plan comes from ``camera_tile_plan``: per pixel tile, an
+interval slab test of the tile's jitter-inflated corner-ray hull against
+superblock AABBs — sample-independent, so one plan serves every spp.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect import F32_MAX
+from .accel import SUPER, super_aabbs
+from .pallas_kernels import (
+    RAY_TILE,
+    _mt_block,
+    _pad_plan_rows,
+    _tile_slab,
+    _to_col,
+    _to_lane,
+    fits_vmem,
+)
+
+__all__ = ["megakernel_eligible", "render_tiles", "camera_tile_plan"]
+
+MAX_OBJECTS = 32
+
+_INV_PI = 0.31830988618
+_INV_2PI = 0.15915494309
+_U32 = jnp.uint32
+_INV_U32_MAX = np.float32(1.0) / np.float32(0xFFFFFFFF)
+
+
+def megakernel_eligible(scene, jitter_mode: str) -> bool:
+    """Static-only eligibility for the fused path (see module docstring)."""
+    return (
+        scene.dialect == "gpu"
+        and scene.accel is not None
+        and not scene.diffuse_bounce
+        and bool(scene.terminal_only)
+        and jitter_mode == "wang"
+        and int(scene.materials.kd.shape[0]) <= MAX_OBJECTS
+        and fits_vmem(scene.accel)
+    )
+
+
+# --- in-kernel RNG (bit-compatible with core.rng / query.h:32-48) ---
+
+
+# Mosaic has no uint32 casts/bitcasts for every shape we need, so the
+# uint32 streams run on int32: two's-complement add/mul/xor are
+# bit-identical, and the unsigned shifts become shift_right_logical.
+
+
+def _srl(h, n):
+    return jax.lax.shift_right_logical(h, jnp.int32(n))
+
+
+def _mix_i32(h):
+    """``core.rng._mix`` on int32 bit patterns (query.h:34-41)."""
+    h = (h ^ np.int32(61)) ^ _srl(h, 16)
+    h = h * np.int32(9)
+    h = h ^ _srl(h, 4)
+    h = h * np.int32(np.uint32(0x27D4EB2D).view(np.int32))
+    h = h ^ _srl(h, 15)
+    return h
+
+
+def _bits_to_f32(h):
+    """int32 bit pattern -> float32(uint32 value), bit-exact to uitofp.
+
+    Split into exact 16-bit halves: hi*65536 is exact in f32, so the
+    single rounding happens in the final add — identical to a direct
+    round-to-nearest unsigned conversion.
+    """
+    hi = _srl(h, 16).astype(jnp.float32)
+    lo = (h & np.int32(0xFFFF)).astype(jnp.float32)
+    return hi * 65536.0 + lo
+
+
+def _wang_float(h):
+    return _bits_to_f32(_mix_i32(h)) * _INV_U32_MAX
+
+
+# --- XLA-side plan ---
+
+
+def camera_tile_plan(camera, xs: Array, ys: Array, grid, ray_tile: int):
+    """Sample-independent traversal plan from pixel-tile ray hulls.
+
+    For each tile of ``ray_tile`` pixels: the camera ray direction is
+    affine in the fractional pixel coords, so the jitter-inflated hull
+    ([x_lo-0.5, x_hi+0.5] x [y_lo-0.5, y_hi+0.5]) has exact per-component
+    direction bounds at its 4 corners.  An interval slab test of (camera
+    center, direction hull) against superblock AABBs then gives a
+    conservative candidate set covering EVERY sample's jittered rays.
+    Entries are normalized-t lower bounds (unnormalized entry x a lower
+    bound of |d|), so the kernel's front-to-back early exit stays exact.
+
+    Returns (order (NT, LS) int32, sorted_entry (NT, LS) f32).
+    """
+    r = xs.shape[0]
+    assert r % ray_tile == 0
+    nt = r // ray_tile
+    saabb = super_aabbs(grid)  # (6, LS)
+
+    xs_t = xs.reshape(nt, ray_tile).astype(jnp.float32)
+    ys_t = ys.reshape(nt, ray_tile).astype(jnp.float32)
+    px_lo = jnp.min(xs_t, axis=1) - 0.5
+    px_hi = jnp.max(xs_t, axis=1) + 0.5
+    py_lo = jnp.min(ys_t, axis=1) - 0.5
+    py_hi = jnp.max(ys_t, axis=1) + 0.5
+
+    base = camera.pixel00_loc - camera.center  # (3,)
+    du, dv = camera.pixel_delta_u, camera.pixel_delta_v
+    corners = [
+        base[None, :] + a[:, None] * du[None, :] + b[:, None] * dv[None, :]
+        for a in (px_lo, px_hi)
+        for b in (py_lo, py_hi)
+    ]  # 4 x (nt, 3)
+    cs = jnp.stack(corners)  # (4, nt, 3)
+    d_lo = jnp.min(cs, axis=0)
+    d_hi = jnp.max(cs, axis=0)
+
+    # |d| lower bound: the largest per-axis magnitude floor
+    same_sign = (d_lo > 0.0) | (d_hi < 0.0)
+    axis_floor = jnp.where(
+        same_sign, jnp.minimum(jnp.abs(d_lo), jnp.abs(d_hi)), 0.0
+    )
+    dnorm_lb = jnp.max(axis_floor, axis=1)  # (nt,)
+
+    near_all = jnp.zeros((nt, 1), jnp.float32)
+    far_all = jnp.full((nt, 1), jnp.inf, jnp.float32)
+    c = camera.center
+    for axis in range(3):
+        blo = saabb[axis][None, :]
+        bhi = saabb[axis + 3][None, :]
+        dlo = d_lo[:, axis:axis + 1]
+        dhi = d_hi[:, axis:axis + 1]
+        spans0 = (dlo <= 0.0) & (dhi >= 0.0)
+        inv_a, inv_b = 1.0 / dhi, 1.0 / dlo  # same-sign interval reciprocal
+        ca = blo - c[axis]
+        cb = bhi - c[axis]
+        cands = [ca * inv_a, ca * inv_b, cb * inv_a, cb * inv_b]
+        near = jnp.minimum(jnp.minimum(cands[0], cands[1]),
+                           jnp.minimum(cands[2], cands[3]))
+        far = jnp.maximum(jnp.maximum(cands[0], cands[1]),
+                          jnp.maximum(cands[2], cands[3]))
+        near = near - jnp.abs(near) * 4e-7  # rounding slack, conservative
+        far = far + jnp.abs(far) * 4e-7
+        bad = spans0 | jnp.isnan(near) | jnp.isnan(far)
+        near_all = jnp.maximum(near_all, jnp.where(bad, -jnp.inf, near))
+        far_all = jnp.minimum(far_all, jnp.where(bad, jnp.inf, far))
+
+    valid_box = (saabb[0] <= saabb[3])[None, :]
+    hit = (near_all <= far_all) & (far_all >= 0.0) & valid_box
+    entry = jnp.maximum(near_all, 0.0) * dnorm_lb[:, None]
+    entry = jnp.where(hit, entry, jnp.inf)
+    order = jnp.argsort(entry, axis=1).astype(jnp.int32)
+    sorted_entry = jnp.take_along_axis(entry, order, axis=1).astype(jnp.float32)
+    return order, sorted_entry
+
+
+# --- the kernel ---
+
+
+def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
+                   num_blocks, num_supers, n_lights, n_objects,
+                   xy_ref, cam_ref, lights_ref, mats_ref, off_ref,
+                   tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref,
+                   order_ref, entry_ref,
+                   r_out, g_out, b_out,
+                   t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+                   acc_r, acc_g, acc_b, blk_lane):
+    rt = t_col.shape[0]
+    row = jax.lax.rem(pl.program_id(0), 8)
+    int_max = np.int32(2**31 - 1)
+
+    x_i = xy_ref[pl.ds(0, 1), :]  # (1, RT) int32
+    y_i = xy_ref[pl.ds(1, 1), :]
+    x_f = x_i.astype(jnp.float32)
+    y_f = y_i.astype(jnp.float32)
+    seed_pix = x_i * np.int32(73856093) ^ y_i * np.int32(19349663)
+
+    cx, cy, cz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+    p0x, p0y, p0z = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
+    dux, duy, duz = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
+    dvx, dvy, dvz = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
+    miss_r, miss_g, miss_b = cam_ref[0, 12], cam_ref[0, 13], cam_ref[0, 14]
+    off = off_ref[0, 0]
+
+    acc_r[:] = jnp.zeros((1, rt), jnp.float32)
+    acc_g[:] = jnp.zeros((1, rt), jnp.float32)
+    acc_b[:] = jnp.zeros((1, rt), jnp.float32)
+
+    def sample_body(s, _):
+        # --- jitter + ray gen (query.cu:36-43, camera.h:49-53) ---
+        h = seed_pix ^ ((s + off) * np.int32(83492791))
+        jx = _wang_float(h) - 0.5
+        h2 = h * np.int32(1664525) + np.int32(1013904223)
+        jy = _wang_float(h2) - 0.5
+        px = x_f + jx
+        py = y_f + jy
+        rx = (p0x + px * dux + py * dvx) - cx
+        ry = (p0y + px * duy + py * dvy) - cy
+        rz = (p0z + px * duz + py * dvz) - cz
+        rlen = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+        dx_l, dy_l, dz_l = rx / rlen, ry / rlen, rz / rlen  # (1, RT)
+        inv_l = (1.0 / dx_l, 1.0 / dy_l, 1.0 / dz_l)
+        o_sc = (cx, cy, cz)
+        d_l = (dx_l, dy_l, dz_l)
+        tmin_l = jnp.full((1, rt), tmin, jnp.float32)
+        # sublane-major copies for the dense test
+        dx_c, dy_c, dz_c = _to_col(dx_l), _to_col(dy_l), _to_col(dz_l)
+        d_c = (dx_c, dy_c, dz_c)
+        tmin_c = jnp.full((rt, 1), tmin, jnp.float32)
+
+        # --- traversal (pallas_kernels._closest_kernel, specialized) ---
+        t_col[:] = jnp.full((rt, 1), F32_MAX, jnp.float32)
+        idx_col[:] = jnp.full((rt, 1), -1, jnp.int32)
+        t_lane[:] = jnp.full((1, rt), F32_MAX, jnp.float32)
+        nx_l[:] = jnp.zeros((1, rt), jnp.float32)
+        ny_l[:] = jnp.zeros((1, rt), jnp.float32)
+        nz_l[:] = jnp.ones((1, rt), jnp.float32)
+        obj_l[:] = jnp.zeros((1, rt), jnp.int32)
+
+        def visit_block(b):
+            tri = tuple(
+                tri_ref[pl.ds(k_ * num_blocks + b, 1), :] for k_ in range(9)
+            )
+            ids = ids_ref[pl.ds(b, 1), :]  # (1, B)
+            t, u, v = _mt_block(o_sc, d_c, tri, det_eps, tmin_c, t_col[:])
+            t = jnp.where(ids >= 0, t, F32_MAX)
+            min_t = jnp.min(t, axis=1, keepdims=True)
+            at_min = t == min_t
+            id_key = jnp.where(at_min & (ids >= 0), ids, int_max)
+            best_id = jnp.min(id_key, axis=1, keepdims=True)
+            old_t = t_col[:]
+            old_idx = idx_col[:]
+            old_key = jnp.where(old_idx >= 0, old_idx, int_max)
+            take = (min_t < F32_MAX) & (
+                (min_t < old_t) | ((min_t == old_t) & (best_id < old_key))
+            )
+
+            @pl.when(jnp.any(take))
+            def _():
+                new_t = jnp.where(take, min_t, old_t)
+                t_col[:] = new_t
+                idx_col[:] = jnp.where(take, best_id, old_idx)
+                t_lane[:] = _to_lane(new_t)
+                take_l = _to_lane(jnp.where(take, 1.0, 0.0)) > 0.0
+                pick = at_min & (id_key == best_id)
+
+                # gpu-dialect shading normal (query.h:113-126)
+                nrm = tuple(
+                    norm_ref[pl.ds(k_ * num_blocks + b, 1), :]
+                    for k_ in range(12)
+                )
+                n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z, gx, gy, gz = nrm
+                w = 1.0 - u - v
+                snx = w * n0x + u * n1x + v * n2x
+                sny = w * n0y + u * n1y + v * n2y
+                snz = w * n0z + u * n1z + v * n2z
+                dg = dx_c * gx + dy_c * gy + dz_c * gz
+                gsign = jnp.where(dg < 0.0, 1.0, -1.0)
+                ogx, ogy, ogz = gx * gsign, gy * gsign, gz * gsign
+                len_sq = snx * snx + sny * sny + snz * snz
+                inv_len = jax.lax.rsqrt(jnp.maximum(len_sq, 1e-38))
+                use_geom = len_sq < 1e-12
+                snx = jnp.where(use_geom, ogx, snx * inv_len)
+                sny = jnp.where(use_geom, ogy, sny * inv_len)
+                snz = jnp.where(use_geom, ogz, snz * inv_len)
+                flip = (snx * ogx + sny * ogy + snz * ogz) < 0.0
+                fsign = jnp.where(flip, -1.0, 1.0)
+                snx, sny, snz = snx * fsign, sny * fsign, snz * fsign
+                sel = lambda q: jnp.sum(
+                    jnp.where(pick, q, 0.0), axis=1, keepdims=True
+                )
+                nx_l[:] = jnp.where(take_l, _to_lane(sel(snx)), nx_l[:])
+                ny_l[:] = jnp.where(take_l, _to_lane(sel(sny)), ny_l[:])
+                nz_l[:] = jnp.where(take_l, _to_lane(sel(snz)), nz_l[:])
+                objs = obj_ref[pl.ds(b, 1), :]  # (1, B) int32
+                sel_obj = jnp.sum(
+                    jnp.where(pick, objs, 0), axis=1, keepdims=True
+                )
+                obj_l[:] = jnp.where(take_l, _to_lane(sel_obj), obj_l[:])
+
+        def cond(k):
+            in_range = k < num_supers
+            next_entry = entry_ref[row, jnp.minimum(k, num_supers - 1)]
+            return in_range & (next_entry <= jnp.max(t_lane[:]))
+
+        def body(k):
+            sb = order_ref[row, k]
+            for j in range(SUPER):
+                b = sb * SUPER + j
+                b_c = jnp.minimum(b, num_blocks - 1)
+                boxed = _tile_slab(aabb_ref, b_c, o_sc, inv_l, tmin_l,
+                                   t_lane[:])
+                do_visit = jnp.any(boxed) & (b < num_blocks)
+
+                @pl.when(do_visit)
+                def _():
+                    visit_block(b_c)
+
+            return k + 1
+
+        jax.lax.while_loop(cond, body, jnp.int32(0))
+
+        # --- shading (ShadeDirect + IsInShadow, shader.h:44-110) ---
+        t_hit = t_lane[:]
+        hit_l = t_hit < F32_MAX
+        hit_f = jnp.where(hit_l, 1.0, 0.0)
+        # hit point, offset along the shading normal; parked when miss
+        px_l = jnp.where(hit_l, cx + t_hit * dx_l + nx_l[:] * shadow_eps, 1e30)
+        py_l = jnp.where(hit_l, cy + t_hit * dy_l + ny_l[:] * shadow_eps, 1e30)
+        pz_l = jnp.where(hit_l, cz + t_hit * dz_l + nz_l[:] * shadow_eps, 1e30)
+        # unit view = -d (o is the camera center, d unit)
+        vx, vy, vz = -dx_l, -dy_l, -dz_l
+        nx, ny, nz = nx_l[:], ny_l[:], nz_l[:]
+        ndotv = jnp.maximum(nx * vx + ny * vy + nz * vz, 0.0)
+        obj_lane = obj_l[:]
+
+        # ambient + emission (shader.h:82-87), per-object scalars
+        lo_r = jnp.zeros((1, rt), jnp.float32)
+        lo_g = jnp.zeros((1, rt), jnp.float32)
+        lo_b = jnp.zeros((1, rt), jnp.float32)
+        for o in range(n_objects):
+            m = jnp.where(obj_lane == o, 1.0, 0.0)
+            al_r, al_g, al_b = mats_ref[o, 0], mats_ref[o, 1], mats_ref[o, 2]
+            em_r, em_g, em_b = mats_ref[o, 10], mats_ref[o, 11], mats_ref[o, 12]
+            lo_r = lo_r + m * (al_r * 0.05 + em_r)
+            lo_g = lo_g + m * (al_g * 0.05 + em_g)
+            lo_b = lo_b + m * (al_b * 0.05 + em_b)
+
+        s_tmin_l = jnp.full((1, rt), shadow_tmin, jnp.float32)
+        s_tmin_c = jnp.full((rt, 1), shadow_tmin, jnp.float32)
+        for li in range(n_lights):
+            lx = lights_ref[li, 0]
+            ly = lights_ref[li, 1]
+            lz = lights_ref[li, 2]
+            rad_r, rad_g, rad_b = (lights_ref[li, 3], lights_ref[li, 4],
+                                   lights_ref[li, 5])
+            tox, toy, toz = lx - px_l, ly - py_l, lz - pz_l
+            dist = jnp.sqrt(jnp.maximum(tox * tox + toy * toy + toz * toz,
+                                        1e-38))
+            inv_dist = 1.0 / dist
+            ldx, ldy, ldz = tox * inv_dist, toy * inv_dist, toz * inv_dist
+            si = (1.0 / ldx, 1.0 / ldy, 1.0 / ldz)
+            so_l = (px_l, py_l, pz_l)
+            so_c = (_to_col(px_l), _to_col(py_l), _to_col(pz_l))
+            sd_c = (_to_col(ldx), _to_col(ldy), _to_col(ldz))
+            dist_c = _to_col(dist)
+
+            blk_lane[:] = jnp.zeros((1, rt), jnp.float32)
+
+            def s_cond(k):
+                return (k < num_blocks) & jnp.any(hit_l & (blk_lane[:] == 0.0))
+
+            def s_body(k):
+                boxed = (
+                    _tile_slab(aabb_ref, k, so_l, si, s_tmin_l, dist)
+                    & hit_l & (blk_lane[:] == 0.0)
+                )
+
+                @pl.when(jnp.any(boxed))
+                def _():
+                    tri = tuple(
+                        tri_ref[pl.ds(k_ * num_blocks + k, 1), :]
+                        for k_ in range(9)
+                    )
+                    ids = ids_ref[pl.ds(k, 1), :]
+                    ts, _, _ = _mt_block(so_c, sd_c, tri, det_eps,
+                                         s_tmin_c, dist_c)
+                    ts = jnp.where(ids >= 0, ts, F32_MAX)
+                    s_hit = jnp.min(ts, axis=1, keepdims=True) < F32_MAX
+                    blk_lane[:] = jnp.maximum(
+                        blk_lane[:], _to_lane(jnp.where(s_hit, 1.0, 0.0))
+                    )
+
+                return k + 1
+
+            jax.lax.while_loop(s_cond, s_body, jnp.int32(0))
+            vis = jnp.where(hit_l & (blk_lane[:] == 0.0), 1.0, 0.0)
+
+            ndotl = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
+            # normalized Blinn-Phong half vector (brdf.h:26-35)
+            hx, hy, hz = ldx + vx, ldy + vy, ldz + vz
+            hlen = jnp.sqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-38))
+            ndoth = jnp.maximum((nx * hx + ny * hy + nz * hz) / hlen, 0.0)
+            lit = jnp.where((ndotl > 0.0) & (ndotv > 0.0), 1.0, 0.0)
+            scale = ndotl * vis * lit
+
+            for o in range(n_objects):
+                m = jnp.where(obj_lane == o, 1.0, 0.0) * scale
+                al_r, al_g, al_b = (mats_ref[o, 0], mats_ref[o, 1],
+                                    mats_ref[o, 2])
+                kd = mats_ref[o, 3]
+                sp_r, sp_g, sp_b = (mats_ref[o, 4], mats_ref[o, 5],
+                                    mats_ref[o, 6])
+                ks = mats_ref[o, 7]
+                shin = mats_ref[o, 8]
+                lobe = jnp.power(ndoth, shin) * ((shin + 2.0) * _INV_2PI * ks)
+                fd = kd * _INV_PI
+                lo_r = lo_r + m * rad_r * (al_r * fd + sp_r * lobe)
+                lo_g = lo_g + m * rad_g * (al_g * fd + sp_g * lobe)
+                lo_b = lo_b + m * rad_b * (al_b * fd + sp_b * lobe)
+
+        # miss -> miss_color; per-sample clamp (query.h:219)
+        sr = jnp.clip(hit_f * lo_r + (1.0 - hit_f) * miss_r, 0.0, 1.0)
+        sg = jnp.clip(hit_f * lo_g + (1.0 - hit_f) * miss_g, 0.0, 1.0)
+        sb_ = jnp.clip(hit_f * lo_b + (1.0 - hit_f) * miss_b, 0.0, 1.0)
+        acc_r[:] = acc_r[:] + sr
+        acc_g[:] = acc_g[:] + sg
+        acc_b[:] = acc_b[:] + sb_
+        return 0
+
+    jax.lax.fori_loop(0, spp, sample_body, 0)
+    r_out[:] = _to_col(acc_r[:])
+    g_out[:] = _to_col(acc_g[:])
+    b_out[:] = _to_col(acc_b[:])
+
+
+@partial(jax.jit, static_argnames=("spp", "interpret", "det_eps", "tmin",
+                                   "shadow_eps", "shadow_tmin"))
+def render_tiles(
+    scene,
+    xs: Array,
+    ys: Array,
+    spp: int,
+    sample_offset=0,
+    *,
+    interpret: bool = False,
+    det_eps: float = 1e-8,
+    tmin: float = 1e-4,
+    shadow_eps: float = 1e-3,
+    shadow_tmin: float = 1e-4,
+) -> Array:
+    """Fused render of swizzled pixel tiles -> (N, 3) radiance SUM over
+    spp samples (callers divide; matches ``accumulate_samples``)."""
+    grid = scene.accel
+    cam = scene.camera
+    l, b = grid.tri_index.shape
+    n = xs.shape[0]
+    pad = (-n) % RAY_TILE
+    if pad:
+        xs = jnp.concatenate([xs, jnp.zeros(pad, xs.dtype)])
+        ys = jnp.concatenate([ys, jnp.zeros(pad, ys.dtype)])
+    np_rays = n + pad
+    nt = np_rays // RAY_TILE
+
+    order, entry = camera_tile_plan(cam, xs, ys, grid, RAY_TILE)
+    order, entry = _pad_plan_rows(order, entry)
+    ls = order.shape[1]
+
+    # rows [8i]=x, [8i+1]=y, rest zero-pad (Mosaic needs 8-row blocks)
+    xy = jnp.concatenate(
+        [xs.reshape(nt, 1, RAY_TILE), ys.reshape(nt, 1, RAY_TILE),
+         jnp.zeros((nt, 6, RAY_TILE), xs.dtype)], axis=1
+    ).reshape(8 * nt, RAY_TILE)
+
+    cam_row = jnp.concatenate([
+        cam.center, cam.pixel00_loc, cam.pixel_delta_u, cam.pixel_delta_v,
+        jnp.asarray(scene.miss_color, jnp.float32).reshape(3),
+        jnp.zeros(1, jnp.float32),
+    ]).reshape(1, 16)
+
+    lights = scene.lights
+    n_lights = int(lights.intensity.shape[0])
+    lights_rows = jnp.concatenate([
+        lights.position,
+        lights.color * lights.intensity[:, None],
+        jnp.zeros((n_lights, 2), jnp.float32),
+    ], axis=1)  # (NL, 8)
+
+    mats = scene.materials
+    n_objects = int(mats.kd.shape[0])
+    mats_rows = jnp.concatenate([
+        mats.albedo, mats.kd[:, None], mats.specular_color, mats.ks[:, None],
+        mats.shininess[:, None], mats.kr[:, None], mats.emission,
+        jnp.zeros((n_objects, 3), jnp.float32),
+    ], axis=1)  # (NO, 16)
+
+    off_row = jnp.asarray(sample_offset, jnp.int32).reshape(1, 1)
+
+    tri_rows = grid.tri.reshape(9 * l, b)
+    norm_rows = grid.norm.reshape(12 * l, b)
+    aabb_rows = jnp.pad(grid.aabb.T, (((0, (-l) % 8)), (0, 2)))  # (Lp, 8)
+
+    in_specs = [
+        pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # cam row
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # lights
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # materials
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # sample offset
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # norm rows
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # ids
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # obj ids
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # aabb rows
+        pl.BlockSpec((8, ls), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((8, ls), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
+    ]
+    out_col = lambda: pl.BlockSpec(
+        (RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    lane = lambda: pltpu.VMEM((1, RAY_TILE), jnp.float32)
+    scratch = [
+        pltpu.VMEM((RAY_TILE, 1), jnp.float32),  # t_col
+        pltpu.VMEM((RAY_TILE, 1), jnp.int32),    # idx_col
+        lane(),                                   # t_lane
+        lane(), lane(), lane(),                   # normal
+        pltpu.VMEM((1, RAY_TILE), jnp.int32),     # obj
+        lane(), lane(), lane(),                   # accum rgb
+        lane(),                                   # shadow blocked
+    ]
+
+    outs = pl.pallas_call(
+        partial(_render_kernel, spp, det_eps, tmin, shadow_eps, shadow_tmin,
+                l, ls, n_lights, n_objects),
+        out_shape=[jax.ShapeDtypeStruct((np_rays, 1), jnp.float32)] * 3,
+        grid_spec=pl.GridSpec(
+            grid=(nt,),
+            in_specs=in_specs,
+            out_specs=[out_col(), out_col(), out_col()],
+            scratch_shapes=scratch,
+        ),
+        interpret=interpret,
+    )(xy, cam_row, lights_rows, mats_rows, off_row,
+      tri_rows, norm_rows, grid.tri_index, grid.obj, aabb_rows, order, entry)
+
+    return jnp.concatenate([a[:n] for a in outs], axis=1)  # (N, 3) sums

@@ -74,6 +74,9 @@ def shard_scene_blocks(scene: Scene, num_shards: int) -> Scene:
         tri_index=jnp.concatenate(
             [grid.tri_index, jnp.full((pad, grid.block_size), -1, jnp.int32)]
         ),
+        obj=jnp.concatenate(
+            [grid.obj, jnp.full((pad, grid.block_size), -1, jnp.int32)]
+        ),
         aabb=jnp.concatenate([grid.aabb, pad_aabb], axis=1),
     )
     return dataclasses.replace(scene, accel=grid)
@@ -128,6 +131,7 @@ def render_scene_sharded(
                 tri=P(None, model_axis, None),
                 norm=P(None, model_axis, None),
                 tri_index=P(model_axis, None),
+                obj=P(model_axis, None),
                 aabb=P(None, model_axis),
                 block_size=s.accel.block_size,
             )

@@ -204,9 +204,24 @@ def render_scene(
     w, h = scene.camera.width, scene.camera.height
     xs, ys, (hp, wp) = _swizzled_grid(w, h)
     jitter_mode = resolve_jitter_mode(scene, jitter_mode, spp)
-    accum = accumulate_samples(
-        scene, xs, ys, spp, jitter_mode, ray_tile, sample_offset=sample_offset
-    )
+
+    # fused megakernel fast path (ops.megakernel): terminal gpu-dialect
+    # scenes render the whole spp loop inside one Pallas call
+    from ..ops.megakernel import megakernel_eligible, render_tiles
+
+    use_pallas = scene.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and megakernel_eligible(scene, jitter_mode):
+        accum = render_tiles(
+            scene, xs, ys, spp, sample_offset=sample_offset,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        accum = accumulate_samples(
+            scene, xs, ys, spp, jitter_mode, ray_tile,
+            sample_offset=sample_offset,
+        )
     return _unswizzle(accum, w, h, hp, wp) / float(spp)
 
 

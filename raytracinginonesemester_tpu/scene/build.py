@@ -105,6 +105,12 @@ class Scene:
     # Pallas kernels vs the XLA block path: None = auto (Pallas on TPU,
     # XLA elsewhere — interpret-mode Pallas is only for tests)
     use_pallas: object = dataclasses.field(default=None, metadata=dict(static=True))
+    # True when no material can spawn a contributing secondary ray
+    # (all kr == 0): with diffuse bounces off, the render is provably
+    # primary-visibility + direct lighting, which unlocks the fused
+    # megakernel path (ops.megakernel).  Computed from the concrete
+    # config at build time because values are opaque under jit.
+    terminal_only: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
 
 def build_scene(config: SceneConfig, scene_path: str = ".", accel: str = "blocks") -> Scene:
@@ -158,13 +164,17 @@ def build_scene(config: SceneConfig, scene_path: str = ".", accel: str = "blocks
 
         accel_struct = build_block_grid(
             geometry.vertices, jnp.asarray(geometry.num_triangles),
-            normals=geometry.normals,
+            normals=geometry.normals, obj_ids=geometry.obj_id,
         )
     elif accel not in (None, "none", "bruteforce"):
         raise ValueError(f"unknown accel {accel!r}")
 
     bg_kind, bg_color = config.background
+    terminal_only = all(
+        float(np.ravel(m.get("kr", 0.0))[0]) == 0.0 for m in materials
+    )
     return Scene(
+        terminal_only=terminal_only,
         accel=accel_struct,
         geometry=geometry,
         materials=MaterialTable.from_dicts(materials),

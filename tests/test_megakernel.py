@@ -1,0 +1,103 @@
+"""Megakernel (fused render) equivalence vs the wavefront integrator.
+
+The fused path must produce the same image as the staged XLA-block path
+for eligible scenes — the analog of testing ``renderBatchCUDA`` against
+the reference's CPU fallback loop (``query.cu:130-166``).
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from raytracinginonesemester_tpu.render.renderer import render_scene
+from raytracinginonesemester_tpu.scene.build import build_scene
+from raytracinginonesemester_tpu.scene.config import SceneConfig, SceneNodeConfig
+from raytracinginonesemester_tpu.scene.transform import Transform
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _two_frog_scene(width=64, height=32, spp=1, **settings):
+    config = SceneConfig(
+        max_bounces=settings.pop("max_bounces", 4),
+        spp=spp,
+        diffuse_bounce=settings.pop("diffuse_bounce", False),
+        camera_position=(0.0, -0.2, 0.2),
+        camera_look_at=(0.0, 0.1, 0.0),
+        camera_up=(0.0, 0.0, 1.0),
+        focal_length_mm=45.0,
+        sensor_height_mm=24.0,
+        sensor_width_mm=None,
+        pixel_width=width,
+        pixel_height=height,
+        background=("miss", (0.25, 0.45, 0.9)),
+        lights=[
+            dict(position=(-3.0, 0.0, 1.0), color=(1.0, 1.0, 0.0),
+                 intensity=5.0, radius=0.0, shadow_samples=1),
+            dict(position=(2.0, -1.0, 2.0), color=(0.2, 0.6, 1.0),
+                 intensity=2.0, radius=0.0, shadow_samples=1),
+        ],
+        nodes=[
+            SceneNodeConfig(
+                name="frog",
+                type="mesh",
+                path=os.path.join(REPO, "tests/assets/meshes/frog.obj"),
+                transform=Transform(),
+                material=dict(albedo=(0.8, 0.2, 0.2), kd=1.0, ks=0.5,
+                              specular_color=(0.04, 0.04, 0.04),
+                              shininess=32.0, kr=0.0),
+            ),
+            SceneNodeConfig(
+                name="frog2",
+                type="mesh",
+                path=os.path.join(REPO, "tests/assets/meshes/frog.obj"),
+                transform=Transform(position=(0.12, 0.0, 0.0)),
+                material=dict(albedo=(0.2, 0.7, 0.3), kd=0.8, ks=0.2,
+                              specular_color=(0.5, 0.5, 0.5),
+                              shininess=8.0, kr=0.0),
+            ),
+        ],
+        dialect="gpu",
+        **settings,
+    )
+    return build_scene(config)
+
+
+def test_megakernel_matches_wavefront():
+    from raytracinginonesemester_tpu.ops.megakernel import megakernel_eligible
+
+    scene = _two_frog_scene()
+    assert scene.terminal_only
+    fused = dataclasses.replace(scene, use_pallas=True)
+    staged = dataclasses.replace(scene, use_pallas=False)
+    assert megakernel_eligible(fused, "wang")
+
+    img_f = np.asarray(render_scene(fused, jitter_mode="wang"))
+    img_s = np.asarray(render_scene(staged, jitter_mode="wang"))
+    np.testing.assert_allclose(img_f, img_s, atol=2e-3)
+    # shadows and both materials must actually appear in the test frame
+    assert img_f.std() > 0.05
+
+
+def test_megakernel_spp_accumulation_and_offset():
+    scene = _two_frog_scene(width=48, height=16, spp=2)
+    fused = dataclasses.replace(scene, use_pallas=True)
+    staged = dataclasses.replace(scene, use_pallas=False)
+    img_f = np.asarray(render_scene(fused, jitter_mode="wang", sample_offset=3))
+    img_s = np.asarray(render_scene(staged, jitter_mode="wang", sample_offset=3))
+    np.testing.assert_allclose(img_f, img_s, atol=2e-3)
+
+
+def test_megakernel_ineligible_falls_back():
+    from raytracinginonesemester_tpu.ops.megakernel import megakernel_eligible
+
+    bouncy = _two_frog_scene(diffuse_bounce=True)
+    assert not megakernel_eligible(bouncy, "wang")
+    mirror = _two_frog_scene()
+    mirror = dataclasses.replace(mirror, terminal_only=False)
+    assert not megakernel_eligible(mirror, "wang")
+    assert not megakernel_eligible(_two_frog_scene(), "reference_cpu")
