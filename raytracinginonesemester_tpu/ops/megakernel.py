@@ -57,6 +57,11 @@ __all__ = ["megakernel_eligible", "render_tiles", "camera_tile_plan"]
 
 MAX_OBJECTS = 32
 
+# trace-time switches for perf bisection (scripts/probe_megakernel.py);
+# production paths never change them
+_DEBUG_SKIP_SHADOW = False
+_DEBUG_SKIP_TRAVERSAL = False
+
 _INV_PI = 0.31830988618
 _INV_2PI = 0.15915494309
 _U32 = jnp.uint32
@@ -208,12 +213,6 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
     row = jax.lax.rem(pl.program_id(0), 8)
     int_max = np.int32(2**31 - 1)
 
-    x_i = xy_ref[pl.ds(0, 1), :]  # (1, RT) int32
-    y_i = xy_ref[pl.ds(1, 1), :]
-    x_f = x_i.astype(jnp.float32)
-    y_f = y_i.astype(jnp.float32)
-    seed_pix = x_i * np.int32(73856093) ^ y_i * np.int32(19349663)
-
     cx, cy, cz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
     p0x, p0y, p0z = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
     dux, duy, duz = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
@@ -221,9 +220,26 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
     miss_r, miss_g, miss_b = cam_ref[0, 12], cam_ref[0, 13], cam_ref[0, 14]
     off = off_ref[0, 0]
 
-    acc_r[:] = jnp.zeros((1, rt), jnp.float32)
-    acc_g[:] = jnp.zeros((1, rt), jnp.float32)
-    acc_b[:] = jnp.zeros((1, rt), jnp.float32)
+    # empty plan -> every ray in the tile provably misses: write the
+    # accumulated miss color and skip ray-gen/traversal/shading
+    # entirely.  Sky tiles are the majority of a frame, and this takes
+    # them from ~10us to ~1us of per-program floor.
+    has_work = entry_ref[row, 0] < jnp.inf
+
+    @pl.when(~has_work)
+    def _():
+        smr = jnp.clip(miss_r, 0.0, 1.0) * np.float32(spp)
+        smg = jnp.clip(miss_g, 0.0, 1.0) * np.float32(spp)
+        smb = jnp.clip(miss_b, 0.0, 1.0) * np.float32(spp)
+        r_out[pl.ds(row, 1), :] = jnp.full((1, rt), smr, jnp.float32)
+        g_out[pl.ds(row, 1), :] = jnp.full((1, rt), smg, jnp.float32)
+        b_out[pl.ds(row, 1), :] = jnp.full((1, rt), smb, jnp.float32)
+
+    x_i = xy_ref[pl.ds(0, 1), :]  # (1, RT) int32
+    y_i = xy_ref[pl.ds(1, 1), :]
+    x_f = x_i.astype(jnp.float32)
+    y_f = y_i.astype(jnp.float32)
+    seed_pix = x_i * np.int32(73856093) ^ y_i * np.int32(19349663)
 
     def sample_body(s, _):
         # --- jitter + ray gen (query.cu:36-43, camera.h:49-53) ---
@@ -337,7 +353,8 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
 
             return k + 1
 
-        jax.lax.while_loop(cond, body, jnp.int32(0))
+        if not _DEBUG_SKIP_TRAVERSAL:
+            jax.lax.while_loop(cond, body, jnp.int32(0))
 
         # --- shading (ShadeDirect + IsInShadow, shader.h:44-110) ---
         t_hit = t_lane[:]
@@ -384,15 +401,23 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
             sd_c = (_to_col(ldx), _to_col(ldy), _to_col(ldz))
             dist_c = _to_col(dist)
 
+            # backfacing lanes (N.L<=0 or N.V<=0) contribute zero no
+            # matter what visibility says (the brdf `lit` gate +
+            # ndotl scale), so they never spawn shadow work — the
+            # wavefront analog of IsInShadow being skipped for
+            # unlit hits
+            ndotl = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
+            facing = hit_l & (ndotl > 0.0) & (ndotv > 0.0)
+
             blk_lane[:] = jnp.zeros((1, rt), jnp.float32)
 
             def s_cond(k):
-                return (k < num_blocks) & jnp.any(hit_l & (blk_lane[:] == 0.0))
+                return (k < num_blocks) & jnp.any(facing & (blk_lane[:] == 0.0))
 
             def s_body(k):
                 boxed = (
                     _tile_slab(aabb_ref, k, so_l, si, s_tmin_l, dist)
-                    & hit_l & (blk_lane[:] == 0.0)
+                    & facing & (blk_lane[:] == 0.0)
                 )
 
                 @pl.when(jnp.any(boxed))
@@ -412,10 +437,10 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
 
                 return k + 1
 
-            jax.lax.while_loop(s_cond, s_body, jnp.int32(0))
-            vis = jnp.where(hit_l & (blk_lane[:] == 0.0), 1.0, 0.0)
+            if not _DEBUG_SKIP_SHADOW:
+                jax.lax.while_loop(s_cond, s_body, jnp.int32(0))
+            vis = jnp.where(facing & (blk_lane[:] == 0.0), 1.0, 0.0)
 
-            ndotl = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
             # normalized Blinn-Phong half vector (brdf.h:26-35)
             hx, hy, hz = ldx + vx, ldy + vy, ldz + vz
             hlen = jnp.sqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-38))
@@ -447,10 +472,15 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
         acc_b[:] = acc_b[:] + sb_
         return 0
 
-    jax.lax.fori_loop(0, spp, sample_body, 0)
-    r_out[:] = _to_col(acc_r[:])
-    g_out[:] = _to_col(acc_g[:])
-    b_out[:] = _to_col(acc_b[:])
+    @pl.when(has_work)
+    def _():
+        acc_r[:] = jnp.zeros((1, rt), jnp.float32)
+        acc_g[:] = jnp.zeros((1, rt), jnp.float32)
+        acc_b[:] = jnp.zeros((1, rt), jnp.float32)
+        jax.lax.fori_loop(0, spp, sample_body, 0)
+        r_out[pl.ds(row, 1), :] = acc_r[:]
+        g_out[pl.ds(row, 1), :] = acc_g[:]
+        b_out[pl.ds(row, 1), :] = acc_b[:]
 
 
 @partial(jax.jit, static_argnames=("spp", "interpret", "det_eps", "tmin",
@@ -474,7 +504,9 @@ def render_tiles(
     cam = scene.camera
     l, b = grid.tri_index.shape
     n = xs.shape[0]
-    pad = (-n) % RAY_TILE
+    # pad to 8 whole tiles: output blocks are (8, RAY_TILE) rows shared
+    # by 8 consecutive programs (dense writes, one flush per 8 programs)
+    pad = (-n) % (8 * RAY_TILE)
     if pad:
         xs = jnp.concatenate([xs, jnp.zeros(pad, xs.dtype)])
         ys = jnp.concatenate([ys, jnp.zeros(pad, ys.dtype)])
@@ -533,8 +565,8 @@ def render_tiles(
         pl.BlockSpec((8, ls), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((8, ls), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
     ]
-    out_col = lambda: pl.BlockSpec(
-        (RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+    out_row = lambda: pl.BlockSpec(
+        (8, RAY_TILE), lambda i: (i // 8, 0), memory_space=pltpu.VMEM
     )
     lane = lambda: pltpu.VMEM((1, RAY_TILE), jnp.float32)
     scratch = [
@@ -550,15 +582,17 @@ def render_tiles(
     outs = pl.pallas_call(
         partial(_render_kernel, spp, det_eps, tmin, shadow_eps, shadow_tmin,
                 l, ls, n_lights, n_objects),
-        out_shape=[jax.ShapeDtypeStruct((np_rays, 1), jnp.float32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((nt, RAY_TILE), jnp.float32)] * 3,
         grid_spec=pl.GridSpec(
             grid=(nt,),
             in_specs=in_specs,
-            out_specs=[out_col(), out_col(), out_col()],
+            out_specs=[out_row(), out_row(), out_row()],
             scratch_shapes=scratch,
         ),
         interpret=interpret,
     )(xy, cam_row, lights_rows, mats_rows, off_row,
       tri_rows, norm_rows, grid.tri_index, grid.obj, aabb_rows, order, entry)
 
-    return jnp.concatenate([a[:n] for a in outs], axis=1)  # (N, 3) sums
+    return jnp.stack(
+        [a.reshape(np_rays)[:n] for a in outs], axis=1
+    )  # (N, 3) sums

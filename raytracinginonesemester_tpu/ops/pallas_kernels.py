@@ -300,6 +300,13 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
         pz_c = jnp.where(hit_c, oz + t_hit * dz + nz_out[:] * shadow_eps, 1e30)
         hit_l = t_lane[:] < F32_MAX
         px_l, py_l, pz_l = _to_lane(px_c), _to_lane(py_c), _to_lane(pz_c)
+        nx_lane = _to_lane(nx_out[:])
+        ny_lane = _to_lane(ny_out[:])
+        nz_lane = _to_lane(nz_out[:])
+        dx_l, dy_l, dz_l = d_l
+        # view = -d for unit ray dirs; backfacing (N.V<=0) lanes shade to
+        # zero through the brdf `lit` gate whatever visibility says
+        ndotv_l = -(nx_lane * dx_l + ny_lane * dy_l + nz_lane * dz_l)
         s_tmin_c = jnp.full((rt, 1), shadow_tmin, jnp.float32)
         s_tmin_l = jnp.full((1, rt), shadow_tmin, jnp.float32)
 
@@ -320,15 +327,20 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
             sd_c = (_to_col(sdx_l), _to_col(sdy_l), _to_col(sdz_l))
             dist_c = _to_col(dist_l)
 
+            # unlit lanes (N.L<=0 or N.V<=0) multiply visibility by zero
+            # in ShadeDirect, so they never spawn shadow work
+            ndotl_l = (nx_lane * sdx_l + ny_lane * sdy_l + nz_lane * sdz_l)
+            facing = hit_l & (ndotl_l > 0.0) & (ndotv_l > 0.0)
+
             blk_lane[:] = jnp.zeros((1, rt), jnp.float32)
 
             def s_cond(k):
-                return (k < num_blocks) & jnp.any(hit_l & (blk_lane[:] == 0.0))
+                return (k < num_blocks) & jnp.any(facing & (blk_lane[:] == 0.0))
 
             def s_body(k):
                 boxed = (
                     _tile_slab(aabb_ref, k, so_l, si_l, s_tmin_l, dist_l)
-                    & hit_l & (blk_lane[:] == 0.0)
+                    & facing & (blk_lane[:] == 0.0)
                 )
 
                 @pl.when(jnp.any(boxed))
@@ -349,7 +361,7 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
                 return k + 1
 
             jax.lax.while_loop(s_cond, s_body, jnp.int32(0))
-            vis_l = jnp.where(hit_l & (blk_lane[:] == 0.0), 1.0, 0.0)
+            vis_l = jnp.where(facing & (blk_lane[:] == 0.0), 1.0, 0.0)
             vis_out[:, li:li + 1] = _to_col(vis_l)
 
 
