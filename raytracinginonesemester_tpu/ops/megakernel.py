@@ -57,10 +57,14 @@ __all__ = ["megakernel_eligible", "render_tiles", "camera_tile_plan"]
 
 MAX_OBJECTS = 32
 
-# trace-time switches for perf bisection (scripts/probe_megakernel.py);
-# production paths never change them
-_DEBUG_SKIP_SHADOW = False
-_DEBUG_SKIP_TRAVERSAL = False
+# trace-time switches for perf bisection (set the env vars before
+# import, e.g. `MK_SKIP_SHADOW=1 python bench.py`); production runs
+# leave them unset
+import os as _os
+
+_DEBUG_SKIP_SHADOW = _os.environ.get("MK_SKIP_SHADOW") == "1"
+_DEBUG_SKIP_TRAVERSAL = _os.environ.get("MK_SKIP_TRAVERSAL") == "1"
+_DEBUG_SKIP_DENSE = _os.environ.get("MK_SKIP_DENSE") == "1"
 
 _INV_PI = 0.31830988618
 _INV_2PI = 0.15915494309
@@ -346,6 +350,8 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
                 boxed = _tile_slab(aabb_ref, b_c, o_sc, inv_l, tmin_l,
                                    t_lane[:])
                 do_visit = jnp.any(boxed) & (b < num_blocks)
+                if _DEBUG_SKIP_DENSE:
+                    continue
 
                 @pl.when(do_visit)
                 def _():

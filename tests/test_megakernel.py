@@ -52,10 +52,11 @@ def _two_frog_scene(width=64, height=32, spp=1, **settings):
                               shininess=32.0, kr=0.0),
             ),
             SceneNodeConfig(
-                name="frog2",
+                name="ball",
                 type="mesh",
-                path=os.path.join(REPO, "tests/assets/meshes/frog.obj"),
-                transform=Transform(position=(0.12, 0.0, 0.0)),
+                path=os.path.join(REPO, "tests/assets/meshes/sphere.obj"),
+                transform=Transform(position=(0.05, 0.05, 0.02),
+                                    scale=(0.04, 0.04, 0.04)),
                 material=dict(albedo=(0.2, 0.7, 0.3), kd=0.8, ks=0.2,
                               specular_color=(0.5, 0.5, 0.5),
                               shininess=8.0, kr=0.0),
