@@ -65,6 +65,7 @@ import os as _os
 _DEBUG_SKIP_SHADOW = _os.environ.get("MK_SKIP_SHADOW") == "1"
 _DEBUG_SKIP_TRAVERSAL = _os.environ.get("MK_SKIP_TRAVERSAL") == "1"
 _DEBUG_SKIP_DENSE = _os.environ.get("MK_SKIP_DENSE") == "1"
+_DEBUG_DENSE_ONLY = _os.environ.get("MK_DENSE_ONLY") == "1"
 
 _INV_PI = 0.31830988618
 _INV_2PI = 0.15915494309
@@ -284,6 +285,11 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
             t, u, v = _mt_block(o_sc, d_c, tri, det_eps, tmin_c, t_col[:])
             t = jnp.where(ids >= 0, t, F32_MAX)
             min_t = jnp.min(t, axis=1, keepdims=True)
+            if _DEBUG_DENSE_ONLY:
+                # timing bisect: raw dense math + reduction, no winner
+                # bookkeeping (results are wrong; timing only)
+                t_col[:] = jnp.minimum(t_col[:], min_t)
+                return
             at_min = t == min_t
             id_key = jnp.where(at_min & (ids >= 0), ids, int_max)
             best_id = jnp.min(id_key, axis=1, keepdims=True)
