@@ -78,8 +78,6 @@ def megakernel_eligible(scene, jitter_mode: str) -> bool:
     return (
         scene.dialect == "gpu"
         and scene.accel is not None
-        and not scene.diffuse_bounce
-        and bool(scene.terminal_only)
         and jitter_mode == "wang"
         and int(scene.materials.kd.shape[0]) <= MAX_OBJECTS
         and fits_vmem(scene.accel)
@@ -207,13 +205,21 @@ def camera_tile_plan(camera, xs: Array, ys: Array, grid, ray_tile: int):
 
 
 def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
+                   max_depth, diffuse_bounce, terminal,
                    num_blocks, num_supers, n_lights, n_objects,
                    xy_ref, cam_ref, lights_ref, mats_ref, off_ref,
                    tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref,
                    order_ref, entry_ref,
-                   r_out, g_out, b_out,
-                   t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
-                   acc_r, acc_g, acc_b, blk_lane):
+                   r_out, g_out, b_out, *rest):
+    if terminal:
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+         acc_r, acc_g, acc_b, blk_lane) = rest
+    else:
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+         acc_r, acc_g, acc_b, blk_lane,
+         tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
+         bo_x, bo_y, bo_z, bd_x, bd_y, bd_z,
+         hm_x, hm_y, hm_z) = rest
     rt = t_col.shape[0]
     row = jax.lax.rem(pl.program_id(0), 8)
     int_max = np.int32(2**31 - 1)
@@ -225,10 +231,9 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
     miss_r, miss_g, miss_b = cam_ref[0, 12], cam_ref[0, 13], cam_ref[0, 14]
     off = off_ref[0, 0]
 
-    # empty plan -> every ray in the tile provably misses: write the
-    # accumulated miss color and skip ray-gen/traversal/shading
-    # entirely.  Sky tiles are the majority of a frame, and this takes
-    # them from ~10us to ~1us of per-program floor.
+    # empty plan -> every primary ray in the tile provably misses (and
+    # with nothing hit, no bounces either): write the accumulated miss
+    # color and skip everything.  Sky tiles are the majority of a frame.
     has_work = entry_ref[row, 0] < jnp.inf
 
     @pl.when(~has_work)
@@ -245,30 +250,22 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
     x_f = x_i.astype(jnp.float32)
     y_f = y_i.astype(jnp.float32)
     seed_pix = x_i * np.int32(73856093) ^ y_i * np.int32(19349663)
+    tmin_l = jnp.full((1, rt), tmin, jnp.float32)
+    tmin_c = jnp.full((rt, 1), tmin, jnp.float32)
+    s_tmin_l = jnp.full((1, rt), shadow_tmin, jnp.float32)
+    s_tmin_c = jnp.full((rt, 1), shadow_tmin, jnp.float32)
 
-    def sample_body(s, _):
-        # --- jitter + ray gen (query.cu:36-43, camera.h:49-53) ---
-        h = seed_pix ^ ((s + off) * np.int32(83492791))
-        jx = _wang_float(h) - 0.5
-        h2 = h * np.int32(1664525) + np.int32(1013904223)
-        jy = _wang_float(h2) - 0.5
-        px = x_f + jx
-        py = y_f + jy
-        rx = (p0x + px * dux + py * dvx) - cx
-        ry = (p0y + px * duy + py * dvy) - cy
-        rz = (p0z + px * duz + py * dvz) - cz
-        rlen = jnp.sqrt(rx * rx + ry * ry + rz * rz)
-        dx_l, dy_l, dz_l = rx / rlen, ry / rlen, rz / rlen  # (1, RT)
-        inv_l = (1.0 / dx_l, 1.0 / dy_l, 1.0 / dz_l)
-        o_sc = (cx, cy, cz)
-        d_l = (dx_l, dy_l, dz_l)
-        tmin_l = jnp.full((1, rt), tmin, jnp.float32)
-        # sublane-major copies for the dense test
-        dx_c, dy_c, dz_c = _to_col(dx_l), _to_col(dy_l), _to_col(dz_l)
-        d_c = (dx_c, dy_c, dz_c)
-        tmin_c = jnp.full((rt, 1), tmin, jnp.float32)
+    def traverse(o_sc, o_l, d_c, d_l, use_plan, active_l):
+        """Closest hit into the t/idx/normal/obj scratches.
 
-        # --- traversal (pallas_kernels._closest_kernel, specialized) ---
+        ``o_sc`` may be scalars (shared-origin primaries; then the dense
+        test broadcasts) or (RT, 1) columns.  ``use_plan`` walks the
+        sorted superblock plan front-to-back with entry early-exit;
+        otherwise (incoherent bounce wavefronts) a flat scan of every
+        block with lane slab culling.
+        """
+        dx_c, dy_c, dz_c = d_c
+        inv_l = (1.0 / d_l[0], 1.0 / d_l[1], 1.0 / d_l[2])
         t_col[:] = jnp.full((rt, 1), F32_MAX, jnp.float32)
         idx_col[:] = jnp.full((rt, 1), -1, jnp.int32)
         t_lane[:] = jnp.full((1, rt), F32_MAX, jnp.float32)
@@ -343,40 +340,62 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
                 )
                 obj_l[:] = jnp.where(take_l, _to_lane(sel_obj), obj_l[:])
 
-        def cond(k):
-            in_range = k < num_supers
-            next_entry = entry_ref[row, jnp.minimum(k, num_supers - 1)]
-            return in_range & (next_entry <= jnp.max(t_lane[:]))
+        if use_plan:
+            def cond(k):
+                in_range = k < num_supers
+                next_entry = entry_ref[row, jnp.minimum(k, num_supers - 1)]
+                return in_range & (next_entry <= jnp.max(t_lane[:]))
 
-        def body(k):
-            sb = order_ref[row, k]
-            for j in range(SUPER):
-                b = sb * SUPER + j
-                b_c = jnp.minimum(b, num_blocks - 1)
-                boxed = _tile_slab(aabb_ref, b_c, o_sc, inv_l, tmin_l,
-                                   t_lane[:])
-                do_visit = jnp.any(boxed) & (b < num_blocks)
-                if _DEBUG_SKIP_DENSE:
-                    continue
+            def body(k):
+                sb = order_ref[row, k]
+                for j in range(SUPER):
+                    b = sb * SUPER + j
+                    b_c = jnp.minimum(b, num_blocks - 1)
+                    boxed = _tile_slab(aabb_ref, b_c, o_l, inv_l, tmin_l,
+                                       t_lane[:]) & active_l
+                    do_visit = jnp.any(boxed) & (b < num_blocks)
+                    if _DEBUG_SKIP_DENSE:
+                        continue
 
-                @pl.when(do_visit)
+                    @pl.when(do_visit)
+                    def _():
+                        visit_block(b_c)
+
+                return k + 1
+        else:
+            def cond(k):
+                return k < num_blocks
+
+            def body(k):
+                boxed = _tile_slab(aabb_ref, k, o_l, inv_l, tmin_l,
+                                   t_lane[:]) & active_l
+
+                @pl.when(jnp.any(boxed))
                 def _():
-                    visit_block(b_c)
+                    visit_block(k)
 
-            return k + 1
+                return k + 1
 
         if not _DEBUG_SKIP_TRAVERSAL:
             jax.lax.while_loop(cond, body, jnp.int32(0))
 
-        # --- shading (ShadeDirect + IsInShadow, shader.h:44-110) ---
+    def shade(o_l, d_l):
+        """Direct lighting at the current hit state (scratches).
+
+        Returns (lo_rgb, hit_l, p_l): per-lane direct radiance
+        (ShadeDirect, shader.h:65-110, with fused IsInShadow walks),
+        the hit mask, and the eps-offset hit points (== the reference
+        bounce origin p + N*RT_EPS).
+        """
+        dx_l, dy_l, dz_l = d_l
         t_hit = t_lane[:]
         hit_l = t_hit < F32_MAX
-        hit_f = jnp.where(hit_l, 1.0, 0.0)
-        # hit point, offset along the shading normal; parked when miss
-        px_l = jnp.where(hit_l, cx + t_hit * dx_l + nx_l[:] * shadow_eps, 1e30)
-        py_l = jnp.where(hit_l, cy + t_hit * dy_l + ny_l[:] * shadow_eps, 1e30)
-        pz_l = jnp.where(hit_l, cz + t_hit * dz_l + nz_l[:] * shadow_eps, 1e30)
-        # unit view = -d (o is the camera center, d unit)
+        px_l = jnp.where(hit_l, o_l[0] + t_hit * dx_l + nx_l[:] * shadow_eps,
+                         1e30)
+        py_l = jnp.where(hit_l, o_l[1] + t_hit * dy_l + ny_l[:] * shadow_eps,
+                         1e30)
+        pz_l = jnp.where(hit_l, o_l[2] + t_hit * dz_l + nz_l[:] * shadow_eps,
+                         1e30)
         vx, vy, vz = -dx_l, -dy_l, -dz_l
         nx, ny, nz = nx_l[:], ny_l[:], nz_l[:]
         ndotv = jnp.maximum(nx * vx + ny * vy + nz * vz, 0.0)
@@ -389,13 +408,12 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
         for o in range(n_objects):
             m = jnp.where(obj_lane == o, 1.0, 0.0)
             al_r, al_g, al_b = mats_ref[o, 0], mats_ref[o, 1], mats_ref[o, 2]
-            em_r, em_g, em_b = mats_ref[o, 10], mats_ref[o, 11], mats_ref[o, 12]
+            em_r, em_g, em_b = (mats_ref[o, 10], mats_ref[o, 11],
+                                mats_ref[o, 12])
             lo_r = lo_r + m * (al_r * 0.05 + em_r)
             lo_g = lo_g + m * (al_g * 0.05 + em_g)
             lo_b = lo_b + m * (al_b * 0.05 + em_b)
 
-        s_tmin_l = jnp.full((1, rt), shadow_tmin, jnp.float32)
-        s_tmin_c = jnp.full((rt, 1), shadow_tmin, jnp.float32)
         for li in range(n_lights):
             lx = lights_ref[li, 0]
             ly = lights_ref[li, 1]
@@ -414,17 +432,16 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
             dist_c = _to_col(dist)
 
             # backfacing lanes (N.L<=0 or N.V<=0) contribute zero no
-            # matter what visibility says (the brdf `lit` gate +
-            # ndotl scale), so they never spawn shadow work — the
-            # wavefront analog of IsInShadow being skipped for
-            # unlit hits
+            # matter what visibility says (the brdf lit gate + ndotl
+            # scale), so they never spawn shadow work
             ndotl = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
             facing = hit_l & (ndotl > 0.0) & (ndotv > 0.0)
 
             blk_lane[:] = jnp.zeros((1, rt), jnp.float32)
 
             def s_cond(k):
-                return (k < num_blocks) & jnp.any(facing & (blk_lane[:] == 0.0))
+                return (k < num_blocks) & jnp.any(
+                    facing & (blk_lane[:] == 0.0))
 
             def s_body(k):
                 boxed = (
@@ -475,14 +492,225 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
                 lo_g = lo_g + m * rad_g * (al_g * fd + sp_g * lobe)
                 lo_b = lo_b + m * rad_b * (al_b * fd + sp_b * lobe)
 
-        # miss -> miss_color; per-sample clamp (query.h:219)
-        sr = jnp.clip(hit_f * lo_r + (1.0 - hit_f) * miss_r, 0.0, 1.0)
-        sg = jnp.clip(hit_f * lo_g + (1.0 - hit_f) * miss_g, 0.0, 1.0)
-        sb_ = jnp.clip(hit_f * lo_b + (1.0 - hit_f) * miss_b, 0.0, 1.0)
-        acc_r[:] = acc_r[:] + sr
-        acc_g[:] = acc_g[:] + sg
-        acc_b[:] = acc_b[:] + sb_
-        return 0
+        return (lo_r, lo_g, lo_b), hit_l, (px_l, py_l, pz_l)
+
+    def primary_ray(s):
+        """Wang-hash jitter + camera ray (query.cu:36-43, camera.h:49-53);
+        returns lane-major unit directions and the rng seed state."""
+        h = seed_pix ^ ((s + off) * np.int32(83492791))
+        jx = _wang_float(h) - 0.5
+        h2 = h * np.int32(1664525) + np.int32(1013904223)
+        jy = _wang_float(h2) - 0.5
+        px = x_f + jx
+        py = y_f + jy
+        rx = (p0x + px * dux + py * dvx) - cx
+        ry = (p0y + px * duy + py * dvy) - cy
+        rz = (p0z + px * duz + py * dvz) - cz
+        rlen = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+        return (rx / rlen, ry / rlen, rz / rlen), h
+
+    if terminal:
+        # --- V1 fast path: primary visibility + direct lighting only ---
+        def sample_body(s, _):
+            d_l, _h = primary_ray(s)
+            d_c = (_to_col(d_l[0]), _to_col(d_l[1]), _to_col(d_l[2]))
+            o_l = (cx, cy, cz)
+            traverse((cx, cy, cz), o_l, d_c, d_l, True,
+                     jnp.full((1, rt), True))
+            (lo_r, lo_g, lo_b), hit_l, _p = shade(o_l, d_l)
+            hit_f = jnp.where(hit_l, 1.0, 0.0)
+            acc_r[:] = acc_r[:] + jnp.clip(
+                hit_f * lo_r + (1.0 - hit_f) * miss_r, 0.0, 1.0)
+            acc_g[:] = acc_g[:] + jnp.clip(
+                hit_f * lo_g + (1.0 - hit_f) * miss_g, 0.0, 1.0)
+            acc_b[:] = acc_b[:] + jnp.clip(
+                hit_f * lo_b + (1.0 - hit_f) * miss_b, 0.0, 1.0)
+            return 0
+    else:
+        # --- V2: the full iterative RR bounce loop in-kernel — the
+        # wavefront restatement of TraceRayIterative (query.h:156-220)
+        # with bit-compatible RNG streams (core.rng) so sample decisions
+        # match the staged integrator lane for lane. ---
+
+        def rng_next_lane():
+            """Advance the rng scratch; returns (new_state, float)."""
+            s1 = rng_st[:] * np.int32(1664525) + np.int32(1013904223)
+            return s1, _wang_float(s1)
+
+        def hemisphere(n_l):
+            """random_on_hemisphere for every lane (query.h:51-71):
+            lockstep rejection rounds; accepted lanes stop consuming
+            their stream, exactly like the scalar loop.  Results land in
+            the hm_* scratches; rng_st advances in place.
+
+            The acceptance mask rides the loop CARRY, not a scratch ref:
+            interpret-mode ``while_loop`` conds see the STALE entry value
+            of refs mutated in the body (Mosaic conds see fresh values),
+            so a ref-read cond would never terminate under interpret.
+            The 64-round cap is unreachable (P(reject^64) ~ 1e-21/lane)
+            and only guards against a degenerate stream.
+            """
+
+            def ru_cond(c):
+                k, acc_f = c
+                return (k < 64) & ~jnp.all(acc_f > 0.0)
+
+            def ru_body(c):
+                k, acc_f = c
+                acc = acc_f > 0.0
+                s0 = rng_st[:]
+                s1 = s0 * np.int32(1664525) + np.int32(1013904223)
+                x = 2.0 * _wang_float(s1) - 1.0
+                s2 = s1 * np.int32(1664525) + np.int32(1013904223)
+                y = 2.0 * _wang_float(s2) - 1.0
+                s3 = s2 * np.int32(1664525) + np.int32(1013904223)
+                z = 2.0 * _wang_float(s3) - 1.0
+                lensq = x * x + y * y + z * z
+                ok = (lensq > 1e-10) & (lensq <= 1.0)
+                inv = jax.lax.rsqrt(jnp.maximum(lensq, 1e-10))
+                take = ok & ~acc
+                hm_x[:] = jnp.where(take, x * inv, hm_x[:])
+                hm_y[:] = jnp.where(take, y * inv, hm_y[:])
+                hm_z[:] = jnp.where(take, z * inv, hm_z[:])
+                rng_st[:] = jnp.where(acc, s0, s3)
+                return k + 1, jnp.where(acc | ok, 1.0, 0.0)
+
+            jax.lax.while_loop(
+                ru_cond, ru_body,
+                (jnp.int32(0), jnp.zeros((1, rt), jnp.float32)),
+            )
+            # flip onto the normal's hemisphere (query.h:66-71)
+            dot = hm_x[:] * n_l[0] + hm_y[:] * n_l[1] + hm_z[:] * n_l[2]
+            fs = jnp.where(dot > 0.0, 1.0, -1.0)
+            return hm_x[:] * fs, hm_y[:] * fs, hm_z[:] * fs
+
+        def bounce(use_plan):
+            """One closest-hit + shade + RR step on the state scratches
+            (the loop body of TraceRayIterative, query.h:165-216)."""
+            alive = alive_st[:] > 0.0
+            o_l = (
+                jnp.where(alive, bo_x[:], 1e30),
+                jnp.where(alive, bo_y[:], 1e30),
+                jnp.where(alive, bo_z[:], 1e30),
+            )
+            d_l = (bd_x[:], bd_y[:], bd_z[:])
+            d_c = (_to_col(d_l[0]), _to_col(d_l[1]), _to_col(d_l[2]))
+            if use_plan:
+                o_sc = (cx, cy, cz)  # primaries share the camera origin
+            else:
+                o_sc = (_to_col(o_l[0]), _to_col(o_l[1]), _to_col(o_l[2]))
+            traverse(o_sc, o_l, d_c, d_l, use_plan, alive)
+
+            (lo_r, lo_g, lo_b), hit_l, p_l = shade(o_l, d_l)
+            found = hit_l & alive
+            found_f = jnp.where(found, 1.0, 0.0)
+            missed_f = jnp.where(alive & ~hit_l, 1.0, 0.0)
+            rd_r[:] = rd_r[:] + tp_r[:] * (missed_f * miss_r + found_f * lo_r)
+            rd_g[:] = rd_g[:] + tp_g[:] * (missed_f * miss_g + found_f * lo_g)
+            rd_b[:] = rd_b[:] + tp_b[:] * (missed_f * miss_b + found_f * lo_b)
+
+            # per-lane material params by object (few objects, masked)
+            obj_lane = obj_l[:]
+            zeros = jnp.zeros((1, rt), jnp.float32)
+            kd_l = zeros
+            kr_l = zeros
+            al = [zeros, zeros, zeros]
+            sp = [zeros, zeros, zeros]
+            for o in range(n_objects):
+                m = jnp.where(obj_lane == o, 1.0, 0.0)
+                kd_l = kd_l + m * mats_ref[o, 3]
+                kr_l = kr_l + m * mats_ref[o, 9]
+                al = [al[c] + m * mats_ref[o, c] for c in range(3)]
+                sp = [sp[c] + m * mats_ref[o, 4 + c] for c in range(3)]
+
+            # Russian-roulette split (query.h:188-206)
+            total = kd_l + kr_l
+            can_bounce = found & (total > 0.0)
+            s_xi, xi = rng_next_lane()
+            rng_st[:] = jnp.where(can_bounce, s_xi, rng_st[:])
+            ratio = kd_l / jnp.where(total > 0.0, total, 1.0)
+            if diffuse_bounce:
+                take_diff = can_bounce & (xi < ratio)
+            else:
+                take_diff = jnp.zeros((1, rt), bool)
+            take_mirror = can_bounce & ~take_diff
+
+            nx, ny, nz = nx_l[:], ny_l[:], nz_l[:]
+            if diffuse_bounce:
+                rng_before = rng_st[:]
+                hx, hy, hz = hemisphere((nx, ny, nz))
+                # hemisphere() advanced every lane; roll back lanes that
+                # did not take the diffuse branch (masked state
+                # threading, ops/integrator.py bounce)
+                rng_st[:] = jnp.where(take_diff, rng_st[:], rng_before)
+                ndotl_h = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0)
+                dtp = 2.0 * ndotl_h
+            else:
+                hx = hy = hz = zeros
+                dtp = zeros
+
+            # mirror: reflect(d, n) with kr * tint (query.h:202-205)
+            ddn = d_l[0] * nx + d_l[1] * ny + d_l[2] * nz
+            rfx = d_l[0] - 2.0 * ddn * nx
+            rfy = d_l[1] - 2.0 * ddn * ny
+            rfz = d_l[2] - 2.0 * ddn * nz
+
+            td_f = jnp.where(take_diff, 1.0, 0.0)
+            bounced = take_diff | take_mirror
+            b_f = jnp.where(bounced, 1.0, 0.0)
+            new_dx = td_f * hx + (1.0 - td_f) * rfx
+            new_dy = td_f * hy + (1.0 - td_f) * rfy
+            new_dz = td_f * hz + (1.0 - td_f) * rfz
+            tsc = [
+                td_f * (al[c] * dtp) + (1.0 - td_f) * (sp[c] * kr_l)
+                for c in range(3)
+            ]
+
+            bo_x[:] = jnp.where(bounced, p_l[0], bo_x[:])
+            bo_y[:] = jnp.where(bounced, p_l[1], bo_y[:])
+            bo_z[:] = jnp.where(bounced, p_l[2], bo_z[:])
+            bd_x[:] = b_f * new_dx + (1.0 - b_f) * bd_x[:]
+            bd_y[:] = b_f * new_dy + (1.0 - b_f) * bd_y[:]
+            bd_z[:] = b_f * new_dz + (1.0 - b_f) * bd_z[:]
+            ntp = [None, None, None]
+            for c, ref in enumerate((tp_r, tp_g, tp_b)):
+                ntp[c] = b_f * (ref[:] * tsc[c]) + (1.0 - b_f) * ref[:]
+                ref[:] = ntp[c]
+            # early-out: all channels < 1e-4 (query.h:209-212)
+            tiny = (ntp[0] < 1e-4) & (ntp[1] < 1e-4) & (ntp[2] < 1e-4)
+            alive_st[:] = jnp.where(bounced & ~tiny, 1.0, 0.0)
+
+        def sample_body(s, _):
+            d_l, h = primary_ray(s)
+            bd_x[:], bd_y[:], bd_z[:] = d_l
+            bo_x[:] = jnp.full((1, rt), cx, jnp.float32)
+            bo_y[:] = jnp.full((1, rt), cy, jnp.float32)
+            bo_z[:] = jnp.full((1, rt), cz, jnp.float32)
+            rng_st[:] = h  # make_rng_seed(x, y, s) == the jitter base
+            tp_r[:] = jnp.ones((1, rt), jnp.float32)
+            tp_g[:] = jnp.ones((1, rt), jnp.float32)
+            tp_b[:] = jnp.ones((1, rt), jnp.float32)
+            rd_r[:] = jnp.zeros((1, rt), jnp.float32)
+            rd_g[:] = jnp.zeros((1, rt), jnp.float32)
+            rd_b[:] = jnp.zeros((1, rt), jnp.float32)
+            alive_st[:] = jnp.ones((1, rt), jnp.float32)
+
+            bounce(True)  # depth 0: planned, shared-origin traversal
+
+            def d_cond(depth):
+                return (depth < max_depth) & jnp.any(alive_st[:] > 0.0)
+
+            def d_body(depth):
+                bounce(False)
+                return depth + 1
+
+            jax.lax.while_loop(d_cond, d_body, jnp.int32(1))
+
+            # per-sample clamp (query.h:219)
+            acc_r[:] = acc_r[:] + jnp.clip(rd_r[:], 0.0, 1.0)
+            acc_g[:] = acc_g[:] + jnp.clip(rd_g[:], 0.0, 1.0)
+            acc_b[:] = acc_b[:] + jnp.clip(rd_b[:], 0.0, 1.0)
+            return 0
 
     @pl.when(has_work)
     def _():
@@ -581,6 +809,8 @@ def render_tiles(
         (8, RAY_TILE), lambda i: (i // 8, 0), memory_space=pltpu.VMEM
     )
     lane = lambda: pltpu.VMEM((1, RAY_TILE), jnp.float32)
+    terminal = bool(scene.terminal_only) and not scene.diffuse_bounce
+    max_depth = int(scene.max_bounces)
     scratch = [
         pltpu.VMEM((RAY_TILE, 1), jnp.float32),  # t_col
         pltpu.VMEM((RAY_TILE, 1), jnp.int32),    # idx_col
@@ -590,9 +820,16 @@ def render_tiles(
         lane(), lane(), lane(),                   # accum rgb
         lane(),                                   # shadow blocked
     ]
+    if not terminal:
+        # path state for the in-kernel bounce loop: throughput, path
+        # radiance, rng, aliveness, bounce origin/dir, hemisphere sample
+        scratch += [lane() for _ in range(6)]
+        scratch += [pltpu.VMEM((1, RAY_TILE), jnp.int32), lane()]  # rng, alive
+        scratch += [lane() for _ in range(9)]  # bo, bd, hm
 
     outs = pl.pallas_call(
         partial(_render_kernel, spp, det_eps, tmin, shadow_eps, shadow_tmin,
+                max_depth, bool(scene.diffuse_bounce), terminal,
                 l, ls, n_lights, n_objects),
         out_shape=[jax.ShapeDtypeStruct((nt, RAY_TILE), jnp.float32)] * 3,
         grid_spec=pl.GridSpec(

@@ -96,9 +96,41 @@ def test_megakernel_spp_accumulation_and_offset():
 def test_megakernel_ineligible_falls_back():
     from raytracinginonesemester_tpu.ops.megakernel import megakernel_eligible
 
-    bouncy = _two_frog_scene(diffuse_bounce=True)
-    assert not megakernel_eligible(bouncy, "wang")
-    mirror = _two_frog_scene()
-    mirror = dataclasses.replace(mirror, terminal_only=False)
-    assert not megakernel_eligible(mirror, "wang")
+    # oracle-parity jitter keeps the staged path
     assert not megakernel_eligible(_two_frog_scene(), "reference_cpu")
+
+
+def test_megakernel_diffuse_bounces_match_wavefront():
+    """V2: the in-kernel RR diffuse bounce loop must reproduce the
+    staged integrator image — bit-compatible RNG means every lane takes
+    the same branch with the same hemisphere samples."""
+    from raytracinginonesemester_tpu.ops.megakernel import megakernel_eligible
+
+    scene = _two_frog_scene(width=64, height=32, diffuse_bounce=True,
+                            max_bounces=3)
+    fused = dataclasses.replace(scene, use_pallas=True)
+    staged = dataclasses.replace(scene, use_pallas=False)
+    assert megakernel_eligible(fused, "wang")
+    img_f = np.asarray(render_scene(fused, jitter_mode="wang"))
+    img_s = np.asarray(render_scene(staged, jitter_mode="wang"))
+    bad = np.abs(img_f - img_s) > 2e-3
+    assert bad.mean() < 2e-3, f"{bad.mean():.4%} pixels diverge"
+
+
+def test_megakernel_mirror_bounces_match_wavefront():
+    """V2 mirror branch (kr > 0, diffuse off): deterministic bounce
+    chains must match the staged integrator."""
+    scene = _two_frog_scene(width=64, height=32)
+    # make the sphere a mirror
+    mats = scene.materials
+    kr = mats.kr.at[1].set(0.8)
+    mirror = dataclasses.replace(
+        scene, materials=dataclasses.replace(mats, kr=kr),
+        terminal_only=False, max_bounces=4,
+    )
+    fused = dataclasses.replace(mirror, use_pallas=True)
+    staged = dataclasses.replace(mirror, use_pallas=False)
+    img_f = np.asarray(render_scene(fused, jitter_mode="wang"))
+    img_s = np.asarray(render_scene(staged, jitter_mode="wang"))
+    bad = np.abs(img_f - img_s) > 2e-3
+    assert bad.mean() < 2e-3, f"{bad.mean():.4%} pixels diverge"
