@@ -24,7 +24,10 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--spp", type=int, default=1)
-    ap.add_argument("--bounces", type=int, default=4)
+    ap.add_argument("--bounces", type=int, default=8)
+    ap.add_argument("--no-diffuse", action="store_true",
+                    help="terminal-only variant (no diffuse bounces); the "
+                    "faithful frog.json workload has diffuse_bounce=true")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--ray-tile", type=int, default=0,
                     help="rays per wavefront tile; <=0 = whole frame")
@@ -56,10 +59,11 @@ def main():
     print(f"device: {dev}", file=sys.stderr)
 
     t0 = time.time()
-    scene = _frog_scene(width=args.width, height=args.height, spp=args.spp)
-    scene = dataclasses.replace(
-        scene, max_bounces=args.bounces, use_pallas=not args.no_pallas
+    scene = _frog_scene(
+        width=args.width, height=args.height, spp=args.spp,
+        max_bounces=args.bounces, diffuse_bounce=not args.no_diffuse,
     )
+    scene = dataclasses.replace(scene, use_pallas=not args.no_pallas)
     jax.block_until_ready(scene.accel.tri)
     build_s = time.time() - t0
     print(
