@@ -73,7 +73,7 @@ def normalize_or(v: Array, fallback: Array, eps: float = 1e-12) -> Array:
     ``fallback`` instead of a normalized vector.
     """
     ln = length(v)
-    safe = v / jnp.maximum(ln, 1e-38)[..., None]
+    safe = v / jnp.maximum(ln, 1e-20)[..., None]  # 1e-38 flushes to 0 on XLA
     return jnp.where((ln < eps)[..., None], fallback, safe)
 
 

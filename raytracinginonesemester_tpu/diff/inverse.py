@@ -48,24 +48,59 @@ def extract_params(scene: Scene, keys=("albedo", "emission")) -> Dict[str, Array
 
     Supported keys: material table fields (``albedo``, ``specular_color``,
     ``emission``, ``kd``, ``ks``, ``kr``, ``shininess``), light fields
-    (``light_color``, ``light_intensity``, ``light_position``).
+    (``light_color``, ``light_intensity``, ``light_position``), geometry
+    (``vertices`` — the (T, 3, 3) world-space triangle soup; north-star
+    "differentiable w.r.t. vertex positions"), and camera pose
+    (``camera_center`` — rigid translation of the whole camera).
     """
     out: Dict[str, Array] = {}
     for k in keys:
         if k.startswith("light_"):
             out[k] = getattr(scene.lights, k[len("light_"):])
+        elif k == "vertices":
+            out[k] = scene.geometry.vertices
+        elif k == "camera_center":
+            out[k] = scene.camera.center
         else:
             out[k] = getattr(scene.materials, k)
     return out
 
 
 def apply_params(scene: Scene, params: Dict[str, Array]) -> Scene:
-    """Return a scene with the given parameter leaves substituted."""
+    """Return a scene with the given parameter leaves substituted.
+
+    ``vertices`` requires a scene built with ``accel="none"`` — block
+    grids and LBVHs bake world-space triangle copies at build time
+    (``ops/accel.py``), so substituting vertices under an acceleration
+    structure would silently render stale geometry.
+
+    ``camera_center`` applies a rigid translation: the derived
+    ``pixel00_loc`` moves with the center, so the viewing direction field
+    is unchanged (exactly how ``camera::initialize`` responds to a pure
+    ``position`` shift with ``look_at`` moved in tandem,
+    ``HW1/include/camera.h:66-91``).
+    """
     mat_updates = {}
     light_updates = {}
+    scene_updates = {}
     for k, v in params.items():
         if k.startswith("light_"):
             light_updates[k[len("light_"):]] = v
+        elif k == "vertices":
+            if scene.accel is not None:
+                raise ValueError(
+                    "vertex parameters need accel='none': acceleration "
+                    "structures bake triangle copies at build time"
+                )
+            scene_updates["geometry"] = dataclasses.replace(
+                scene.geometry, vertices=v
+            )
+        elif k == "camera_center":
+            delta = v - scene.camera.center
+            scene_updates["camera"] = dataclasses.replace(
+                scene.camera, center=v,
+                pixel00_loc=scene.camera.pixel00_loc + delta,
+            )
         else:
             mat_updates[k] = v
     materials = (
@@ -78,7 +113,9 @@ def apply_params(scene: Scene, params: Dict[str, Array]) -> Scene:
         if light_updates
         else scene.lights
     )
-    return dataclasses.replace(scene, materials=materials, lights=lights)
+    return dataclasses.replace(
+        scene, materials=materials, lights=lights, **scene_updates
+    )
 
 
 @partial(jax.jit, static_argnames=("jitter_mode", "spp_override"))

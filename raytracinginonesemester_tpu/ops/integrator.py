@@ -210,7 +210,7 @@ def trace_rays(
         if gpu:
             miss_rad = jnp.broadcast_to(scene.miss_color, (r, 3))
         else:
-            unit_d = d / jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1, keepdims=True), 1e-38))
+            unit_d = d / jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1, keepdims=True), 1e-24))
             miss_rad = shading.sky_gradient(unit_d)
         missed = alive & ~hits.hit
         radiance = radiance + jnp.where(missed[:, None], throughput * miss_rad, 0.0)
@@ -244,7 +244,7 @@ def trace_rays(
         total = kd + kr
         can_bounce = found & (total > 0.0)
 
-        n_unit = n / jnp.sqrt(jnp.maximum(jnp.sum(n * n, -1, keepdims=True), 1e-38))
+        n_unit = n / jnp.sqrt(jnp.maximum(jnp.sum(n * n, -1, keepdims=True), 1e-24))
         state_xi, xi = rnglib.rng_next(state)
         state = jnp.where(can_bounce, state_xi, state)
 
@@ -279,7 +279,7 @@ def trace_rays(
 
         # mirror branch: GPU uses kr * tint (query.h:202-205); CPUOnly uses
         # (diffuse_bounce ? total : kr) * tint (raytracer.h:249-255)
-        d_unit = d / jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1, keepdims=True), 1e-38))
+        d_unit = d / jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1, keepdims=True), 1e-24))
         refl = reflect(d_unit, n_unit)
         if gpu:
             mirror_scale = kr

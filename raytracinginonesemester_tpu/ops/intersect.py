@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-__all__ = ["HitData", "FLT_EPSILON", "intersect_closest", "occluded", "make_hit_frame"]
+__all__ = ["HitData", "FLT_EPSILON", "chunk_tuv", "intersect_closest",
+           "occluded", "make_hit_frame"]
 
 FLT_EPSILON = 1.1920929e-7  # std::numeric_limits<float>::epsilon()
 F32_MAX = 3.4028235e38
@@ -43,11 +44,13 @@ class HitData:
     hit: Array  # (R,) bool
 
 
-def _chunk_hits(o: Array, d: Array, tri: Array, det_eps: float):
-    """Ray x triangle-chunk Möller–Trumbore.
+def chunk_tuv(o: Array, d: Array, tri: Array, det_eps: float):
+    """Raw ray x triangle-chunk Möller–Trumbore algebra.
 
-    o, d: (R, 3); tri: (C, 3, 3).  Returns (t, u, v, valid) each (R, C).
-    The algebra follows query.h:77-109 with everything broadcast.
+    o, d: (R, 3); tri: (C, 3, 3).  Returns (t, u, v, det_ok) each (R, C)
+    WITHOUT the inside-triangle test — callers apply their own acceptance
+    (hard barycentric bounds here; smoothed bounds in ``diff.soft``).
+    The algebra follows query.h:77-103 with everything broadcast.
     """
     v0 = tri[:, 0]  # (C, 3)
     e1 = tri[:, 1] - v0
@@ -64,9 +67,15 @@ def _chunk_hits(o: Array, d: Array, tri: Array, det_eps: float):
     qvec = jnp.cross(tvec, e1[None, :, :])
     v = jnp.sum(dx * qvec, axis=-1) * inv_det
     t = jnp.sum(e2[None, :, :] * qvec, axis=-1) * inv_det
+    return t, u, v, jnp.abs(det) >= det_eps
 
+
+def _chunk_hits(o: Array, d: Array, tri: Array, det_eps: float):
+    """Ray x triangle-chunk Möller–Trumbore with the hard inside test
+    (u, v, u+v bounds, query.h:104-108).  Returns (t, u, v, valid)."""
+    t, u, v, det_ok = chunk_tuv(o, d, tri, det_eps)
     valid = (
-        (jnp.abs(det) >= det_eps)
+        det_ok
         & (u >= 0.0)
         & (u <= 1.0)
         & (v >= 0.0)
@@ -209,7 +218,7 @@ def make_hit_frame(
     e2 = tri[:, 2] - tri[:, 0]
     geom = jnp.cross(e1, e2)
     geom_len = jnp.sqrt(jnp.sum(geom * geom, axis=-1, keepdims=True))
-    geom_n = geom / jnp.maximum(geom_len, 1e-38)
+    geom_n = geom / jnp.maximum(geom_len, 1e-20)  # 1e-38 flushes to 0 on XLA
     front_face = jnp.sum(dirs * geom_n, axis=-1) < 0.0
 
     if mode == "hw1":
@@ -217,7 +226,7 @@ def make_hit_frame(
 
     oriented_geom = jnp.where(front_face[:, None], geom_n, -geom_n)
     interp_len_sq = jnp.sum(interp * interp, axis=-1, keepdims=True)
-    shade_n = interp / jnp.sqrt(jnp.maximum(interp_len_sq, 1e-38))
+    shade_n = interp / jnp.sqrt(jnp.maximum(interp_len_sq, 1e-24))
 
     if mode == "cpuonly":
         shade_n = jnp.where(front_face[:, None], shade_n, -shade_n)

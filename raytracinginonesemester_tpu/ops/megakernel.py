@@ -379,10 +379,10 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
             def f_body(k):
                 boxed = _tile_slab(aabb_ref, k, o_l, inv_l, tmin_l,
                                    t_lane[:]) & active_l
-
-                @pl.when(jnp.any(boxed))
-                def _():
-                    visit_block(k)
+                if not _DEBUG_SKIP_DENSE:
+                    @pl.when(jnp.any(boxed))
+                    def _():
+                        visit_block(k)
 
                 return k + 1
 

@@ -54,7 +54,9 @@ from .accel import BlockGrid, tile_visit_plan_fast
 
 __all__ = ["fits_vmem", "pallas_block_closest", "pallas_block_occluded", "RAY_TILE"]
 
-RAY_TILE = 512
+# rays per kernel program.  512 won the terminal-workload sweep
+# (scripts/probe_ray_tile.py); override for experiments with RT_RAY_TILE.
+RAY_TILE = int(__import__("os").environ.get("RT_RAY_TILE", "512"))
 _INT_MAX = np.int32(2**31 - 1)
 
 # leave headroom for ray tiles, scratch and double buffers

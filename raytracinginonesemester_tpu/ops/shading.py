@@ -62,14 +62,14 @@ def shade_hw1(
     ambient = albedo * 0.1
 
     to_l = light_position - p
-    l = to_l / jnp.sqrt(jnp.maximum(jnp.sum(to_l * to_l, -1, keepdims=True), 1e-38))
+    l = to_l / jnp.sqrt(jnp.maximum(jnp.sum(to_l * to_l, -1, keepdims=True), 1e-24))
     diff = jnp.maximum(jnp.sum(normal * l, axis=-1), 0.0)
     diffuse = (albedo * light_color) * diff[..., None]
 
     view = origins - p
-    view = view / jnp.sqrt(jnp.maximum(jnp.sum(view * view, -1, keepdims=True), 1e-38))
+    view = view / jnp.sqrt(jnp.maximum(jnp.sum(view * view, -1, keepdims=True), 1e-24))
     half = l + view
-    half = half / jnp.sqrt(jnp.maximum(jnp.sum(half * half, -1, keepdims=True), 1e-38))
+    half = half / jnp.sqrt(jnp.maximum(jnp.sum(half * half, -1, keepdims=True), 1e-24))
     spec = jnp.power(jnp.maximum(jnp.sum(normal * half, axis=-1), 0.0), shininess)
     specular = light_color * spec[..., None]
 
@@ -95,7 +95,7 @@ def _shadow_visibility_soft(
     [RT_EPS, dist - RT_EPS).  Returns (visibility (R,), new rng state).
     """
     to_c = light_pos - p
-    dist_c = jnp.sqrt(jnp.maximum(jnp.sum(to_c * to_c, axis=-1), 1e-38))
+    dist_c = jnp.sqrt(jnp.maximum(jnp.sum(to_c * to_c, axis=-1), 1e-24))
     w = (p - light_pos) / dist_c[:, None]
     t_axis, b_axis = rnglib.make_basis(w)
 
@@ -114,7 +114,7 @@ def _shadow_visibility_soft(
         sample_pos = jnp.where(is_area[:, None], light_pos + offset, light_pos)
 
         to_l = sample_pos - p
-        dist = jnp.sqrt(jnp.maximum(jnp.sum(to_l * to_l, axis=-1), 1e-38))
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(to_l * to_l, axis=-1), 1e-24))
         ldir = to_l / dist[:, None]
         blocked = occlude_fn(p + n * rt_eps, ldir, rt_eps, dist - rt_eps)
         # Samples beyond the first only count for area lights (S==1 for
@@ -162,8 +162,8 @@ def shade_direct(
     rt_eps = RT_EPS_GPU if gpu else RT_EPS_CPUONLY
 
     nv = origins - p
-    view = nv / jnp.sqrt(jnp.maximum(jnp.sum(nv * nv, -1, keepdims=True), 1e-38))
-    n_unit = n / jnp.sqrt(jnp.maximum(jnp.sum(n * n, -1, keepdims=True), 1e-38))
+    view = nv / jnp.sqrt(jnp.maximum(jnp.sum(nv * nv, -1, keepdims=True), 1e-24))
+    n_unit = n / jnp.sqrt(jnp.maximum(jnp.sum(n * n, -1, keepdims=True), 1e-24))
 
     lo = mat.albedo * 0.05 + mat.emission  # ambient + emission (shader.h:82-87)
 
@@ -172,7 +172,7 @@ def shade_direct(
     for li in range(num_lights):
         lpos = lights.position[li]
         to_l = lpos - p
-        dist = jnp.sqrt(jnp.maximum(jnp.sum(to_l * to_l, axis=-1), 1e-38))
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(to_l * to_l, axis=-1), 1e-24))
         ldir = to_l / dist[:, None]
         ndotl = jnp.maximum(jnp.sum(n_unit * ldir, axis=-1), 0.0)
 
