@@ -29,6 +29,13 @@ def main():
                     help="terminal-only variant (no diffuse bounces); the "
                     "faithful frog.json workload has diffuse_bounce=true")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--frames", type=int, default=4,
+                    help="frames rendered back-to-back on-chip per timed "
+                    "dispatch (lax.scan over sample offsets).  The tunneled "
+                    "dev runtime pays a ~28 ms host round trip per dispatch "
+                    "that production TPU serving does not; steady-state "
+                    "throughput = dispatch_time / frames.  Set 1 to measure "
+                    "single-dispatch latency instead.")
     ap.add_argument("--ray-tile", type=int, default=0,
                     help="rays per wavefront tile; <=0 = whole frame")
     ap.add_argument("--quick", action="store_true",
@@ -98,25 +105,34 @@ def main():
     # timers (main.cu:290).  Each frame renders a different sample index
     # so no two dispatches are identical.
     @jax.jit
-    def frame_checksum(s, off):
-        img = render_scene(
-            s, jitter_mode="wang", ray_tile=args.ray_tile,
-            spp_override=args.spp, sample_offset=off,
-        )
-        return jnp.sum(img)
+    def frame_checksum(s, off0):
+        # args.frames whole frames back-to-back on-chip (each a distinct
+        # sample offset -> distinct RNG streams, no result reuse); the
+        # scan serializes them so dispatch_time/frames is true steady-
+        # state per-frame time, amortizing the dev tunnel's ~28 ms/
+        # dispatch host RTT that production serving does not pay.
+        def one(c, off):
+            img = render_scene(
+                s, jitter_mode="wang", ray_tile=args.ray_tile,
+                spp_override=args.spp, sample_offset=off,
+            )
+            return c + jnp.sum(img), 0
+        total, _ = jax.lax.scan(
+            one, jnp.float32(0.0), off0 + jnp.arange(args.frames))
+        return total
 
     t0 = time.time()
     checksum = float(jax.device_get(frame_checksum(scene, 0)))
     warm_s = time.time() - t0
-    print(f"warmup (compile + 1 frame): {warm_s:.2f}s, checksum {checksum:.3f}",
-          file=sys.stderr)
+    print(f"warmup (compile + {args.frames} frames): {warm_s:.2f}s, "
+          f"checksum {checksum:.3f}", file=sys.stderr)
 
     times = []
     for i in range(args.iters):
         t0 = time.time()
-        float(jax.device_get(frame_checksum(scene, i + 1)))
+        float(jax.device_get(frame_checksum(scene, (i + 1) * args.frames)))
         times.append(time.time() - t0)
-    dt = sorted(times)[len(times) // 2]  # median frame (incl ~30ms RTT)
+    dt = sorted(times)[len(times) // 2] / args.frames  # median, per frame
     img = render(scene)
 
     rays = args.width * args.height * args.spp

@@ -113,37 +113,62 @@ def trace_rays(
     if use_pallas is None:
         # auto: fused kernels on real TPU; interpret mode is test-only
         use_pallas = jax.default_backend() == "tpu"
+    grid_chunks = 1
     if use_pallas and scene.accel is not None:
-        from .pallas_kernels import fits_vmem
+        from .pallas_kernels import num_chunks_for
 
-        # scenes whose planes exceed VMEM fall back to the XLA block path
-        use_pallas = fits_vmem(scene.accel)
+        # scenes whose planes exceed VMEM run the same kernel over
+        # Morton-contiguous block chunks with a (t, id) merge — results
+        # are bit-identical to a single-launch render (test_pallas.py)
+        grid_chunks = num_chunks_for(scene.accel)
 
     kernel_normals = scene.accel is not None and use_pallas and gpu
     # gpu lights are always point lights; under model sharding each shard
     # only sees its own blocks, so fused visibility would be partial —
-    # fall back to the psum'd occlusion kernel there
-    kernel_shadows = kernel_normals and model_axis is None
+    # fall back to the psum'd occlusion kernel there.  Chunked grids
+    # likewise: per-chunk hit points are provisional until the merge.
+    kernel_shadows = kernel_normals and model_axis is None and grid_chunks == 1
 
     if scene.accel is not None and use_pallas:
-        from .pallas_kernels import pallas_block_closest, pallas_block_occluded
+        from .pallas_kernels import (
+            pallas_block_closest,
+            pallas_block_closest_chunked,
+            pallas_block_occluded,
+            pallas_block_occluded_chunked,
+        )
 
         interp = jax.default_backend() != "tpu"  # interpret off-TPU
 
-        def closest_local(o, d):
-            return pallas_block_closest(
-                o, d, scene.accel, tmin=tmin, det_eps=det_eps,
-                interpret=interp, return_normal=kernel_normals,
-                shadow_lights=scene.lights.position if kernel_shadows else None,
-                shadow_eps=shading.RT_EPS_GPU,
-                shadow_tmin=1e-4,
-            )
+        if grid_chunks == 1:
+            def closest_local(o, d):
+                return pallas_block_closest(
+                    o, d, scene.accel, tmin=tmin, det_eps=det_eps,
+                    interpret=interp, return_normal=kernel_normals,
+                    shadow_lights=(
+                        scene.lights.position if kernel_shadows else None),
+                    shadow_eps=shading.RT_EPS_GPU,
+                    shadow_tmin=1e-4,
+                )
 
-        def occlude_local(o, d, s_tmin, s_tmax):
-            return pallas_block_occluded(
-                o, d, scene.accel, tmin=s_tmin, tmax=s_tmax,
-                det_eps=det_eps, interpret=interp,
-            )
+            def occlude_local(o, d, s_tmin, s_tmax):
+                return pallas_block_occluded(
+                    o, d, scene.accel, tmin=s_tmin, tmax=s_tmax,
+                    det_eps=det_eps, interpret=interp,
+                )
+        else:
+            def closest_local(o, d):
+                return pallas_block_closest_chunked(
+                    o, d, scene.accel, tmin=tmin, det_eps=det_eps,
+                    interpret=interp, return_normal=kernel_normals,
+                    num_chunks=grid_chunks,
+                )
+
+            def occlude_local(o, d, s_tmin, s_tmax):
+                return pallas_block_occluded_chunked(
+                    o, d, scene.accel, tmin=s_tmin, tmax=s_tmax,
+                    det_eps=det_eps, interpret=interp,
+                    num_chunks=grid_chunks,
+                )
     elif scene.accel is not None:
         from .accel import block_closest, block_occluded
 

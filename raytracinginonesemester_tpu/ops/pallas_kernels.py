@@ -52,7 +52,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .intersect import F32_MAX, HitData
 from .accel import BlockGrid, tile_visit_plan_fast
 
-__all__ = ["fits_vmem", "pallas_block_closest", "pallas_block_occluded", "RAY_TILE"]
+__all__ = ["fits_vmem", "num_chunks_for", "pallas_block_closest",
+           "pallas_block_occluded", "pallas_block_closest_chunked",
+           "pallas_block_occluded_chunked", "RAY_TILE"]
 
 # rays per kernel program.  512 won the terminal-workload sweep
 # (scripts/probe_ray_tile.py); override for experiments with RT_RAY_TILE.
@@ -63,9 +65,45 @@ _INT_MAX = np.int32(2**31 - 1)
 _VMEM_TRI_BUDGET_BYTES = 10 * 1024 * 1024
 
 
+def _grid_bytes(l: int, b: int) -> int:
+    return 9 * l * b * 4 + 8 * l * 4 + l * b * 4
+
+
 def fits_vmem(grid: BlockGrid) -> bool:
     l, b = grid.tri_index.shape
-    return (9 * l * b * 4 + 8 * l * 4 + l * b * 4) < _VMEM_TRI_BUDGET_BYTES
+    return _grid_bytes(l, b) < _VMEM_TRI_BUDGET_BYTES
+
+
+def num_chunks_for(grid: BlockGrid) -> int:
+    """Fewest block-axis chunks such that each chunk's planes fit the
+    kernel VMEM budget (1 when the whole grid fits)."""
+    l, b = grid.tri_index.shape
+    n = 1
+    while _grid_bytes(-(-l // n), b) >= _VMEM_TRI_BUDGET_BYTES:
+        n += 1
+    return n
+
+
+def _grid_chunk(grid: BlockGrid, c: int, n: int) -> BlockGrid:
+    """Static slice of chunk ``c`` of ``n`` along the block axis.
+
+    Blocks are Morton-ordered, so consecutive runs are spatially
+    coherent and the chunk's AABBs stay tight.  ``tri_index`` keeps the
+    GLOBAL triangle ids, which is what makes the chunked closest-hit
+    merge partition-invariant (ties break on (t, global id) everywhere).
+    """
+    l = grid.num_blocks
+    size = -(-l // n)
+    lo = c * size
+    hi = min(lo + size, l)
+    return BlockGrid(
+        tri=grid.tri[:, lo:hi],
+        norm=grid.norm[:, lo:hi],
+        tri_index=grid.tri_index[lo:hi],
+        obj=grid.obj[lo:hi],
+        aabb=grid.aabb[:, lo:hi],
+        block_size=grid.block_size,
+    )
 
 
 def _mt_block(o, d, tri, det_eps, tmin, tmax):
@@ -615,3 +653,94 @@ def pallas_block_occluded(
         interpret=interpret,
     )(rays, lane, tri_rows, grid.tri_index, aabb_rows, order, entry)
     return blocked[:r, 0] > 0
+
+
+# --- chunked variants for scenes whose planes exceed VMEM ---
+#
+# The reference handles arbitrary scene sizes because its BVH lives in
+# GPU global memory (bvh.cu:93-206); our kernel keeps triangle planes
+# VMEM-resident, which caps a single launch at ~280k triangles.  Beyond
+# that, the grid is split into Morton-contiguous block-axis chunks (each
+# spatially tight), each chunk runs the SAME fused kernel with its
+# planes resident, and per-ray results merge by the global
+# (t, triangle id) tie-break — the identical rule used by the XLA path,
+# the in-kernel visits, and the model-axis shard merge
+# (parallel/sharded.py), so images are bit-identical to an unchunked
+# render of the same scene.
+
+
+@partial(jax.jit, static_argnames=(
+    "det_eps", "interpret", "return_normal", "num_chunks"))
+def pallas_block_closest_chunked(
+    origins: Array,
+    dirs: Array,
+    grid: BlockGrid,
+    tmin=1e-4,
+    *,
+    det_eps: float = 1e-8,
+    interpret: bool = False,
+    return_normal: bool = False,
+    num_chunks: int = 0,
+):
+    """Closest hit over VMEM-sized chunks of an oversized grid.
+
+    ``num_chunks <= 0`` sizes automatically (``num_chunks_for``).
+    Fused shadow rays are not offered here: per-chunk hit points are
+    provisional until the merge, so visibility must come from a separate
+    (chunked) occlusion pass.
+    """
+    n = num_chunks if num_chunks > 0 else num_chunks_for(grid)
+    best = None
+    for c in range(n):
+        sub = _grid_chunk(grid, c, n)
+        out = pallas_block_closest(
+            origins, dirs, sub, tmin=tmin, det_eps=det_eps,
+            interpret=interpret, return_normal=return_normal,
+        )
+        h, nrm = out if return_normal else (out, None)
+        if best is None:
+            best = (h, nrm)
+            continue
+        bh, bn = best
+        b_key = jnp.where(bh.tri_idx >= 0, bh.tri_idx, _INT_MAX)
+        n_key = jnp.where(h.tri_idx >= 0, h.tri_idx, _INT_MAX)
+        take = h.hit & (
+            ~bh.hit | (h.t < bh.t) | ((h.t == bh.t) & (n_key < b_key))
+        )
+        merged = HitData(
+            t=jnp.where(take, h.t, bh.t),
+            u=jnp.where(take, h.u, bh.u),
+            v=jnp.where(take, h.v, bh.v),
+            tri_idx=jnp.where(take, h.tri_idx, bh.tri_idx),
+            hit=bh.hit | h.hit,
+        )
+        if return_normal:
+            bn = jnp.where(take[:, None], nrm, bn)
+        best = (merged, bn)
+    h, nrm = best
+    return (h, nrm) if return_normal else h
+
+
+@partial(jax.jit, static_argnames=("det_eps", "interpret", "num_chunks"))
+def pallas_block_occluded_chunked(
+    origins: Array,
+    dirs: Array,
+    grid: BlockGrid,
+    tmin=1e-4,
+    tmax=F32_MAX,
+    *,
+    det_eps: float = 1e-8,
+    interpret: bool = False,
+    num_chunks: int = 0,
+) -> Array:
+    """Any-hit occlusion over VMEM-sized chunks (OR of chunk results)."""
+    n = num_chunks if num_chunks > 0 else num_chunks_for(grid)
+    blocked = None
+    for c in range(n):
+        sub = _grid_chunk(grid, c, n)
+        bc = pallas_block_occluded(
+            origins, dirs, sub, tmin=tmin, tmax=tmax, det_eps=det_eps,
+            interpret=interpret,
+        )
+        blocked = bc if blocked is None else (blocked | bc)
+    return blocked
