@@ -203,59 +203,23 @@ def camera_tile_plan(camera, xs: Array, ys: Array, grid, ray_tile: int):
     return order, sorted_entry
 
 
-# --- the kernel ---
+# --- kernel building blocks ---
+#
+# The closest-hit walk, direct-lighting shade, and RR bounce step are
+# factory functions closing over explicit ref/const arguments so the
+# SAME Mosaic bodies serve every kernel built from them: the fused
+# megakernel below and the staged wavefront kernels (kernel P / kernel
+# B) that add XLA-side compaction between bounces.
 
 
-def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
-                   max_depth, diffuse_bounce, terminal,
-                   num_blocks, num_supers, n_lights, n_objects,
-                   xy_ref, cam_ref, lights_ref, mats_ref, off_ref,
+def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
                    tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
                    order_ref, entry_ref,
-                   r_out, g_out, b_out, *rest):
-    if terminal:
-        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
-         acc_r, acc_g, acc_b, blk_lane) = rest
-    else:
-        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
-         acc_r, acc_g, acc_b, blk_lane,
-         tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
-         bo_x, bo_y, bo_z, bd_x, bd_y, bd_z,
-         hm_x, hm_y, hm_z) = rest
+                   t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l):
     rt = t_col.shape[0]
-    row = jax.lax.rem(pl.program_id(0), 8)
     int_max = np.int32(2**31 - 1)
-
-    cx, cy, cz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
-    p0x, p0y, p0z = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
-    dux, duy, duz = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
-    dvx, dvy, dvz = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
-    miss_r, miss_g, miss_b = cam_ref[0, 12], cam_ref[0, 13], cam_ref[0, 14]
-    off = off_ref[0, 0]
-
-    # empty plan -> every primary ray in the tile provably misses (and
-    # with nothing hit, no bounces either): write the accumulated miss
-    # color and skip everything.  Sky tiles are the majority of a frame.
-    has_work = entry_ref[row, 0] < jnp.inf
-
-    @pl.when(~has_work)
-    def _():
-        smr = jnp.clip(miss_r, 0.0, 1.0) * np.float32(spp)
-        smg = jnp.clip(miss_g, 0.0, 1.0) * np.float32(spp)
-        smb = jnp.clip(miss_b, 0.0, 1.0) * np.float32(spp)
-        r_out[pl.ds(row, 1), :] = jnp.full((1, rt), smr, jnp.float32)
-        g_out[pl.ds(row, 1), :] = jnp.full((1, rt), smg, jnp.float32)
-        b_out[pl.ds(row, 1), :] = jnp.full((1, rt), smb, jnp.float32)
-
-    x_i = xy_ref[pl.ds(0, 1), :]  # (1, RT) int32
-    y_i = xy_ref[pl.ds(1, 1), :]
-    x_f = x_i.astype(jnp.float32)
-    y_f = y_i.astype(jnp.float32)
-    seed_pix = x_i * np.int32(73856093) ^ y_i * np.int32(19349663)
     tmin_l = jnp.full((1, rt), tmin, jnp.float32)
     tmin_c = jnp.full((rt, 1), tmin, jnp.float32)
-    s_tmin_l = jnp.full((1, rt), shadow_tmin, jnp.float32)
-    s_tmin_c = jnp.full((rt, 1), shadow_tmin, jnp.float32)
 
     def traverse(o_sc, o_l, d_c, d_l, use_plan, active_l):
         """Closest hit into the t/idx/normal/obj scratches.
@@ -450,6 +414,17 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
 
             jax.lax.while_loop(o_cond, o_body, (jnp.int32(0), e_vec0))
 
+    return traverse
+
+
+def _make_shade(det_eps, shadow_eps, shadow_tmin, num_blocks,
+                n_lights, n_objects,
+                tri_ref, ids_ref, aabb_ref, lights_ref, mats_ref,
+                t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane):
+    rt = t_lane.shape[1]
+    s_tmin_l = jnp.full((1, rt), shadow_tmin, jnp.float32)
+    s_tmin_c = jnp.full((rt, 1), shadow_tmin, jnp.float32)
+
     def shade(o_l, d_l):
         """Direct lighting at the current hit state (scratches).
 
@@ -565,6 +540,245 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
 
         return (lo_r, lo_g, lo_b), hit_l, (px_l, py_l, pz_l)
 
+    return shade
+
+
+def _make_rng_hemisphere(rng_st, hm_x, hm_y, hm_z):
+    """Per-lane RNG advance + lockstep hemisphere rejection sampler over
+    the given state scratches."""
+
+    def rng_next_lane():
+        """Advance the rng scratch; returns (new_state, float)."""
+        s1 = rng_st[:] * np.int32(1664525) + np.int32(1013904223)
+        return s1, _wang_float(s1)
+
+    def hemisphere(n_l):
+        """random_on_hemisphere for every lane (query.h:51-71):
+        lockstep rejection rounds; accepted lanes stop consuming
+        their stream, exactly like the scalar loop.  Results land in
+        the hm_* scratches; rng_st advances in place.
+
+        The acceptance mask rides the loop CARRY, not a scratch ref:
+        interpret-mode ``while_loop`` conds see the STALE entry value
+        of refs mutated in the body (Mosaic conds see fresh values),
+        so a ref-read cond would never terminate under interpret.
+        The 64-round cap is unreachable (P(reject^64) ~ 1e-21/lane)
+        and only guards against a degenerate stream.
+        """
+        rt = rng_st.shape[1]
+
+        def ru_cond(c):
+            k, acc_f = c
+            return (k < 64) & ~jnp.all(acc_f > 0.0)
+
+        def ru_body(c):
+            k, acc_f = c
+            acc = acc_f > 0.0
+            s0 = rng_st[:]
+            s1 = s0 * np.int32(1664525) + np.int32(1013904223)
+            x = 2.0 * _wang_float(s1) - 1.0
+            s2 = s1 * np.int32(1664525) + np.int32(1013904223)
+            y = 2.0 * _wang_float(s2) - 1.0
+            s3 = s2 * np.int32(1664525) + np.int32(1013904223)
+            z = 2.0 * _wang_float(s3) - 1.0
+            lensq = x * x + y * y + z * z
+            ok = (lensq > 1e-10) & (lensq <= 1.0)
+            inv = jax.lax.rsqrt(jnp.maximum(lensq, 1e-10))
+            take = ok & ~acc
+            hm_x[:] = jnp.where(take, x * inv, hm_x[:])
+            hm_y[:] = jnp.where(take, y * inv, hm_y[:])
+            hm_z[:] = jnp.where(take, z * inv, hm_z[:])
+            rng_st[:] = jnp.where(acc, s0, s3)
+            return k + 1, jnp.where(acc | ok, 1.0, 0.0)
+
+        jax.lax.while_loop(
+            ru_cond, ru_body,
+            (jnp.int32(0), jnp.zeros((1, rt), jnp.float32)),
+        )
+        # flip onto the normal's hemisphere (query.h:66-71)
+        dot = hm_x[:] * n_l[0] + hm_y[:] * n_l[1] + hm_z[:] * n_l[2]
+        fs = jnp.where(dot > 0.0, 1.0, -1.0)
+        return hm_x[:] * fs, hm_y[:] * fs, hm_z[:] * fs
+
+    return rng_next_lane, hemisphere
+
+
+def _make_bounce(traverse, shade, rng_next_lane, hemisphere,
+                 diffuse_bounce, n_objects, miss_rgb, mats_ref,
+                 tp_refs, rd_refs, rng_st, alive_st, bo_refs, bd_refs,
+                 nx_l, ny_l, nz_l, obj_l):
+    miss_r, miss_g, miss_b = miss_rgb
+    tp_r, tp_g, tp_b = tp_refs
+    rd_r, rd_g, rd_b = rd_refs
+    bo_x, bo_y, bo_z = bo_refs
+    bd_x, bd_y, bd_z = bd_refs
+    rt = rng_st.shape[1]
+
+    def bounce(use_plan, shared_origin=None):
+        """One closest-hit + shade + RR step on the state scratches
+        (the loop body of TraceRayIterative, query.h:165-216).
+
+        ``shared_origin``: scalar (x, y, z) when every lane shares one
+        origin (depth-0 camera rays; the dense test then broadcasts),
+        else None for per-lane origins from the bo_* scratches.
+        """
+        alive = alive_st[:] > 0.0
+        o_l = (
+            jnp.where(alive, bo_x[:], 1e30),
+            jnp.where(alive, bo_y[:], 1e30),
+            jnp.where(alive, bo_z[:], 1e30),
+        )
+        d_l = (bd_x[:], bd_y[:], bd_z[:])
+        d_c = (_to_col(d_l[0]), _to_col(d_l[1]), _to_col(d_l[2]))
+        if shared_origin is not None:
+            o_sc = shared_origin
+        else:
+            o_sc = (_to_col(o_l[0]), _to_col(o_l[1]), _to_col(o_l[2]))
+        traverse(o_sc, o_l, d_c, d_l, use_plan, alive)
+
+        (lo_r, lo_g, lo_b), hit_l, p_l = shade(o_l, d_l)
+        found = hit_l & alive
+        found_f = jnp.where(found, 1.0, 0.0)
+        missed_f = jnp.where(alive & ~hit_l, 1.0, 0.0)
+        rd_r[:] = rd_r[:] + tp_r[:] * (missed_f * miss_r + found_f * lo_r)
+        rd_g[:] = rd_g[:] + tp_g[:] * (missed_f * miss_g + found_f * lo_g)
+        rd_b[:] = rd_b[:] + tp_b[:] * (missed_f * miss_b + found_f * lo_b)
+
+        # per-lane material params by object (few objects, masked)
+        obj_lane = obj_l[:]
+        zeros = jnp.zeros((1, rt), jnp.float32)
+        kd_l = zeros
+        kr_l = zeros
+        al = [zeros, zeros, zeros]
+        sp = [zeros, zeros, zeros]
+        for o in range(n_objects):
+            m = jnp.where(obj_lane == o, 1.0, 0.0)
+            kd_l = kd_l + m * mats_ref[o, 3]
+            kr_l = kr_l + m * mats_ref[o, 9]
+            al = [al[c] + m * mats_ref[o, c] for c in range(3)]
+            sp = [sp[c] + m * mats_ref[o, 4 + c] for c in range(3)]
+
+        # Russian-roulette split (query.h:188-206)
+        total = kd_l + kr_l
+        can_bounce = found & (total > 0.0)
+        s_xi, xi = rng_next_lane()
+        rng_st[:] = jnp.where(can_bounce, s_xi, rng_st[:])
+        ratio = kd_l / jnp.where(total > 0.0, total, 1.0)
+        if diffuse_bounce:
+            take_diff = can_bounce & (xi < ratio)
+        else:
+            take_diff = jnp.zeros((1, rt), bool)
+        take_mirror = can_bounce & ~take_diff
+
+        nx, ny, nz = nx_l[:], ny_l[:], nz_l[:]
+        if diffuse_bounce:
+            rng_before = rng_st[:]
+            hx, hy, hz = hemisphere((nx, ny, nz))
+            # hemisphere() advanced every lane; roll back lanes that
+            # did not take the diffuse branch (masked state
+            # threading, ops/integrator.py bounce)
+            rng_st[:] = jnp.where(take_diff, rng_st[:], rng_before)
+            ndotl_h = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0)
+            dtp = 2.0 * ndotl_h
+        else:
+            hx = hy = hz = zeros
+            dtp = zeros
+
+        # mirror: reflect(d, n) with kr * tint (query.h:202-205)
+        ddn = d_l[0] * nx + d_l[1] * ny + d_l[2] * nz
+        rfx = d_l[0] - 2.0 * ddn * nx
+        rfy = d_l[1] - 2.0 * ddn * ny
+        rfz = d_l[2] - 2.0 * ddn * nz
+
+        td_f = jnp.where(take_diff, 1.0, 0.0)
+        bounced = take_diff | take_mirror
+        b_f = jnp.where(bounced, 1.0, 0.0)
+        new_dx = td_f * hx + (1.0 - td_f) * rfx
+        new_dy = td_f * hy + (1.0 - td_f) * rfy
+        new_dz = td_f * hz + (1.0 - td_f) * rfz
+        tsc = [
+            td_f * (al[c] * dtp) + (1.0 - td_f) * (sp[c] * kr_l)
+            for c in range(3)
+        ]
+
+        bo_x[:] = jnp.where(bounced, p_l[0], bo_x[:])
+        bo_y[:] = jnp.where(bounced, p_l[1], bo_y[:])
+        bo_z[:] = jnp.where(bounced, p_l[2], bo_z[:])
+        bd_x[:] = b_f * new_dx + (1.0 - b_f) * bd_x[:]
+        bd_y[:] = b_f * new_dy + (1.0 - b_f) * bd_y[:]
+        bd_z[:] = b_f * new_dz + (1.0 - b_f) * bd_z[:]
+        ntp = [None, None, None]
+        for c, ref in enumerate((tp_r, tp_g, tp_b)):
+            ntp[c] = b_f * (ref[:] * tsc[c]) + (1.0 - b_f) * ref[:]
+            ref[:] = ntp[c]
+        # early-out: all channels < 1e-4 (query.h:209-212)
+        tiny = (ntp[0] < 1e-4) & (ntp[1] < 1e-4) & (ntp[2] < 1e-4)
+        alive_st[:] = jnp.where(bounced & ~tiny, 1.0, 0.0)
+
+    return bounce
+
+
+# --- the fused kernel ---
+
+
+def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
+                   max_depth, diffuse_bounce, terminal,
+                   num_blocks, num_supers, n_lights, n_objects,
+                   xy_ref, cam_ref, lights_ref, mats_ref, off_ref,
+                   tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
+                   order_ref, entry_ref,
+                   r_out, g_out, b_out, *rest):
+    if terminal:
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+         acc_r, acc_g, acc_b, blk_lane) = rest
+    else:
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+         acc_r, acc_g, acc_b, blk_lane,
+         tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
+         bo_x, bo_y, bo_z, bd_x, bd_y, bd_z,
+         hm_x, hm_y, hm_z) = rest
+    rt = t_col.shape[0]
+    row = jax.lax.rem(pl.program_id(0), 8)
+
+    cx, cy, cz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+    p0x, p0y, p0z = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
+    dux, duy, duz = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
+    dvx, dvy, dvz = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
+    miss_r, miss_g, miss_b = cam_ref[0, 12], cam_ref[0, 13], cam_ref[0, 14]
+    off = off_ref[0, 0]
+
+    # empty plan -> every primary ray in the tile provably misses (and
+    # with nothing hit, no bounces either): write the accumulated miss
+    # color and skip everything.  Sky tiles are the majority of a frame.
+    has_work = entry_ref[row, 0] < jnp.inf
+
+    @pl.when(~has_work)
+    def _():
+        smr = jnp.clip(miss_r, 0.0, 1.0) * np.float32(spp)
+        smg = jnp.clip(miss_g, 0.0, 1.0) * np.float32(spp)
+        smb = jnp.clip(miss_b, 0.0, 1.0) * np.float32(spp)
+        r_out[pl.ds(row, 1), :] = jnp.full((1, rt), smr, jnp.float32)
+        g_out[pl.ds(row, 1), :] = jnp.full((1, rt), smg, jnp.float32)
+        b_out[pl.ds(row, 1), :] = jnp.full((1, rt), smb, jnp.float32)
+
+    x_i = xy_ref[pl.ds(0, 1), :]  # (1, RT) int32
+    y_i = xy_ref[pl.ds(1, 1), :]
+    x_f = x_i.astype(jnp.float32)
+    y_f = y_i.astype(jnp.float32)
+    seed_pix = x_i * np.int32(73856093) ^ y_i * np.int32(19349663)
+
+    traverse = _make_traverse(
+        det_eps, tmin, num_blocks, num_supers, row,
+        tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
+        order_ref, entry_ref,
+        t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+    )
+    shade = _make_shade(
+        det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
+        tri_ref, ids_ref, aabb_ref, lights_ref, mats_ref,
+        t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+    )
+
     def primary_ray(s):
         """Wang-hash jitter + camera ray (query.cu:36-43, camera.h:49-53);
         returns lane-major unit directions and the rng seed state."""
@@ -602,154 +816,15 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
         # wavefront restatement of TraceRayIterative (query.h:156-220)
         # with bit-compatible RNG streams (core.rng) so sample decisions
         # match the staged integrator lane for lane. ---
-
-        def rng_next_lane():
-            """Advance the rng scratch; returns (new_state, float)."""
-            s1 = rng_st[:] * np.int32(1664525) + np.int32(1013904223)
-            return s1, _wang_float(s1)
-
-        def hemisphere(n_l):
-            """random_on_hemisphere for every lane (query.h:51-71):
-            lockstep rejection rounds; accepted lanes stop consuming
-            their stream, exactly like the scalar loop.  Results land in
-            the hm_* scratches; rng_st advances in place.
-
-            The acceptance mask rides the loop CARRY, not a scratch ref:
-            interpret-mode ``while_loop`` conds see the STALE entry value
-            of refs mutated in the body (Mosaic conds see fresh values),
-            so a ref-read cond would never terminate under interpret.
-            The 64-round cap is unreachable (P(reject^64) ~ 1e-21/lane)
-            and only guards against a degenerate stream.
-            """
-
-            def ru_cond(c):
-                k, acc_f = c
-                return (k < 64) & ~jnp.all(acc_f > 0.0)
-
-            def ru_body(c):
-                k, acc_f = c
-                acc = acc_f > 0.0
-                s0 = rng_st[:]
-                s1 = s0 * np.int32(1664525) + np.int32(1013904223)
-                x = 2.0 * _wang_float(s1) - 1.0
-                s2 = s1 * np.int32(1664525) + np.int32(1013904223)
-                y = 2.0 * _wang_float(s2) - 1.0
-                s3 = s2 * np.int32(1664525) + np.int32(1013904223)
-                z = 2.0 * _wang_float(s3) - 1.0
-                lensq = x * x + y * y + z * z
-                ok = (lensq > 1e-10) & (lensq <= 1.0)
-                inv = jax.lax.rsqrt(jnp.maximum(lensq, 1e-10))
-                take = ok & ~acc
-                hm_x[:] = jnp.where(take, x * inv, hm_x[:])
-                hm_y[:] = jnp.where(take, y * inv, hm_y[:])
-                hm_z[:] = jnp.where(take, z * inv, hm_z[:])
-                rng_st[:] = jnp.where(acc, s0, s3)
-                return k + 1, jnp.where(acc | ok, 1.0, 0.0)
-
-            jax.lax.while_loop(
-                ru_cond, ru_body,
-                (jnp.int32(0), jnp.zeros((1, rt), jnp.float32)),
-            )
-            # flip onto the normal's hemisphere (query.h:66-71)
-            dot = hm_x[:] * n_l[0] + hm_y[:] * n_l[1] + hm_z[:] * n_l[2]
-            fs = jnp.where(dot > 0.0, 1.0, -1.0)
-            return hm_x[:] * fs, hm_y[:] * fs, hm_z[:] * fs
-
-        def bounce(use_plan):
-            """One closest-hit + shade + RR step on the state scratches
-            (the loop body of TraceRayIterative, query.h:165-216)."""
-            alive = alive_st[:] > 0.0
-            o_l = (
-                jnp.where(alive, bo_x[:], 1e30),
-                jnp.where(alive, bo_y[:], 1e30),
-                jnp.where(alive, bo_z[:], 1e30),
-            )
-            d_l = (bd_x[:], bd_y[:], bd_z[:])
-            d_c = (_to_col(d_l[0]), _to_col(d_l[1]), _to_col(d_l[2]))
-            if use_plan:
-                o_sc = (cx, cy, cz)  # primaries share the camera origin
-            else:
-                o_sc = (_to_col(o_l[0]), _to_col(o_l[1]), _to_col(o_l[2]))
-            traverse(o_sc, o_l, d_c, d_l, use_plan, alive)
-
-            (lo_r, lo_g, lo_b), hit_l, p_l = shade(o_l, d_l)
-            found = hit_l & alive
-            found_f = jnp.where(found, 1.0, 0.0)
-            missed_f = jnp.where(alive & ~hit_l, 1.0, 0.0)
-            rd_r[:] = rd_r[:] + tp_r[:] * (missed_f * miss_r + found_f * lo_r)
-            rd_g[:] = rd_g[:] + tp_g[:] * (missed_f * miss_g + found_f * lo_g)
-            rd_b[:] = rd_b[:] + tp_b[:] * (missed_f * miss_b + found_f * lo_b)
-
-            # per-lane material params by object (few objects, masked)
-            obj_lane = obj_l[:]
-            zeros = jnp.zeros((1, rt), jnp.float32)
-            kd_l = zeros
-            kr_l = zeros
-            al = [zeros, zeros, zeros]
-            sp = [zeros, zeros, zeros]
-            for o in range(n_objects):
-                m = jnp.where(obj_lane == o, 1.0, 0.0)
-                kd_l = kd_l + m * mats_ref[o, 3]
-                kr_l = kr_l + m * mats_ref[o, 9]
-                al = [al[c] + m * mats_ref[o, c] for c in range(3)]
-                sp = [sp[c] + m * mats_ref[o, 4 + c] for c in range(3)]
-
-            # Russian-roulette split (query.h:188-206)
-            total = kd_l + kr_l
-            can_bounce = found & (total > 0.0)
-            s_xi, xi = rng_next_lane()
-            rng_st[:] = jnp.where(can_bounce, s_xi, rng_st[:])
-            ratio = kd_l / jnp.where(total > 0.0, total, 1.0)
-            if diffuse_bounce:
-                take_diff = can_bounce & (xi < ratio)
-            else:
-                take_diff = jnp.zeros((1, rt), bool)
-            take_mirror = can_bounce & ~take_diff
-
-            nx, ny, nz = nx_l[:], ny_l[:], nz_l[:]
-            if diffuse_bounce:
-                rng_before = rng_st[:]
-                hx, hy, hz = hemisphere((nx, ny, nz))
-                # hemisphere() advanced every lane; roll back lanes that
-                # did not take the diffuse branch (masked state
-                # threading, ops/integrator.py bounce)
-                rng_st[:] = jnp.where(take_diff, rng_st[:], rng_before)
-                ndotl_h = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0)
-                dtp = 2.0 * ndotl_h
-            else:
-                hx = hy = hz = zeros
-                dtp = zeros
-
-            # mirror: reflect(d, n) with kr * tint (query.h:202-205)
-            ddn = d_l[0] * nx + d_l[1] * ny + d_l[2] * nz
-            rfx = d_l[0] - 2.0 * ddn * nx
-            rfy = d_l[1] - 2.0 * ddn * ny
-            rfz = d_l[2] - 2.0 * ddn * nz
-
-            td_f = jnp.where(take_diff, 1.0, 0.0)
-            bounced = take_diff | take_mirror
-            b_f = jnp.where(bounced, 1.0, 0.0)
-            new_dx = td_f * hx + (1.0 - td_f) * rfx
-            new_dy = td_f * hy + (1.0 - td_f) * rfy
-            new_dz = td_f * hz + (1.0 - td_f) * rfz
-            tsc = [
-                td_f * (al[c] * dtp) + (1.0 - td_f) * (sp[c] * kr_l)
-                for c in range(3)
-            ]
-
-            bo_x[:] = jnp.where(bounced, p_l[0], bo_x[:])
-            bo_y[:] = jnp.where(bounced, p_l[1], bo_y[:])
-            bo_z[:] = jnp.where(bounced, p_l[2], bo_z[:])
-            bd_x[:] = b_f * new_dx + (1.0 - b_f) * bd_x[:]
-            bd_y[:] = b_f * new_dy + (1.0 - b_f) * bd_y[:]
-            bd_z[:] = b_f * new_dz + (1.0 - b_f) * bd_z[:]
-            ntp = [None, None, None]
-            for c, ref in enumerate((tp_r, tp_g, tp_b)):
-                ntp[c] = b_f * (ref[:] * tsc[c]) + (1.0 - b_f) * ref[:]
-                ref[:] = ntp[c]
-            # early-out: all channels < 1e-4 (query.h:209-212)
-            tiny = (ntp[0] < 1e-4) & (ntp[1] < 1e-4) & (ntp[2] < 1e-4)
-            alive_st[:] = jnp.where(bounced & ~tiny, 1.0, 0.0)
+        rng_next_lane, hemisphere = _make_rng_hemisphere(
+            rng_st, hm_x, hm_y, hm_z)
+        bounce = _make_bounce(
+            traverse, shade, rng_next_lane, hemisphere,
+            diffuse_bounce, n_objects, (miss_r, miss_g, miss_b), mats_ref,
+            (tp_r, tp_g, tp_b), (rd_r, rd_g, rd_b), rng_st, alive_st,
+            (bo_x, bo_y, bo_z), (bd_x, bd_y, bd_z),
+            nx_l, ny_l, nz_l, obj_l,
+        )
 
         def sample_body(s, _):
             d_l, h = primary_ray(s)
@@ -766,7 +841,8 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
             rd_b[:] = jnp.zeros((1, rt), jnp.float32)
             alive_st[:] = jnp.ones((1, rt), jnp.float32)
 
-            bounce(True)  # depth 0: planned, shared-origin traversal
+            # depth 0: planned, shared-origin traversal
+            bounce(True, (cx, cy, cz))
 
             def d_cond(depth):
                 return (depth < max_depth) & jnp.any(alive_st[:] > 0.0)
