@@ -69,6 +69,21 @@ _DEBUG_DENSE_ONLY = _os.environ.get("MK_DENSE_ONLY") == "1"
 _DEBUG_NO_DIST_EXIT = _os.environ.get("MK_NO_DIST_EXIT") == "1"
 _ORDERED_BOUNCE_SCAN = _os.environ.get("MK_ORDERED_SCAN") == "1"
 
+# Sublane-chunked dense visits for incoherent bounce wavefronts: the
+# slab mask `boxed` says which of the tile's rays can possibly improve
+# in a block; after a diffuse bounce only ~3-5% can, scattered across
+# the tile, so the full (RAY_TILE, B) Moller-Trumbore wastes >90% of
+# its register-ops.  Gating the dense test per CHUNK sublane rows (an
+# (8, 128) chunk is exactly one VPU register) skips the dead rows.
+# Correctness is inherited from the existing tile-level gate: a failed
+# slab test (vs the running best t, inflated-far, <=) proves the block
+# cannot beat that ray's (t, id) winner, ties included.
+# MEASURED SLOWER (frog 1080p depth-8: 235 -> 492 ms at MK_CHUNK=8):
+# the ~64 scalar `pl.when` predicates per visit cost far more than the
+# skipped register-ops — same lesson as the ordered bounce scan; kept
+# behind the flag as a recorded negative result.
+_CHUNK_ROWS = int(_os.environ.get("MK_CHUNK", "0"))
+
 _INV_PI = 0.31830988618
 _INV_2PI = 0.15915494309
 _U32 = jnp.uint32
@@ -215,11 +230,15 @@ def camera_tile_plan(camera, xs: Array, ys: Array, grid, ray_tile: int):
 def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
                    tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
                    order_ref, entry_ref,
-                   t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l):
+                   t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+                   chunk=0, col_scr=None):
     rt = t_col.shape[0]
     int_max = np.int32(2**31 - 1)
     tmin_l = jnp.full((1, rt), tmin, jnp.float32)
     tmin_c = jnp.full((rt, 1), tmin, jnp.float32)
+    if chunk:
+        nx_c, ny_c, nz_c, obj_c = col_scr
+        tmin_ch = jnp.full((chunk, 1), tmin, jnp.float32)
 
     def traverse(o_sc, o_l, d_c, d_l, use_plan, active_l):
         """Closest hit into the t/idx/normal/obj scratches.
@@ -239,6 +258,12 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
         ny_l[:] = jnp.zeros((1, rt), jnp.float32)
         nz_l[:] = jnp.ones((1, rt), jnp.float32)
         obj_l[:] = jnp.zeros((1, rt), jnp.int32)
+        chunked = chunk and not use_plan
+        if chunked:
+            nx_c[:] = jnp.zeros((rt, 1), jnp.float32)
+            ny_c[:] = jnp.zeros((rt, 1), jnp.float32)
+            nz_c[:] = jnp.ones((rt, 1), jnp.float32)
+            obj_c[:] = jnp.zeros((rt, 1), jnp.int32)
 
         def visit_block(b):
             tri = tuple(
@@ -306,6 +331,85 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
                 )
                 obj_l[:] = jnp.where(take_l, _to_lane(sel_obj), obj_l[:])
 
+        def visit_block_chunked(b, boxed_col):
+            """Dense test gated per ``chunk`` sublane rows.
+
+            ``boxed_col`` is the (RT, 1) f32 slab mask: rows whose slab
+            test failed cannot improve, so whole row-chunks with no
+            passing ray skip their share of the (RT, B) register-ops.
+            Winner attributes land in COLUMN scratches (static sublane
+            slices are cheap; sub-128 lane slices are not); t_lane is
+            refreshed once per visit for the caller's slab pruning.
+            """
+            tri = tuple(
+                tri_ref[pl.ds(k_ * num_blocks + b, 1), :] for k_ in range(9)
+            )
+            ids = ids_ref[pl.ds(b, 1), :]  # (1, B)
+            objs = obj_ref[pl.ds(b, 1), :]
+            nrm = tuple(
+                norm_ref[pl.ds(k_ * num_blocks + b, 1), :] for k_ in range(12)
+            )
+            n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z, gx, gy, gz = nrm
+            for c in range(rt // chunk):
+                lo = c * chunk
+                pred = jnp.sum(boxed_col[lo:lo + chunk, :]) > 0.0
+
+                @pl.when(pred)
+                def _(lo=lo):
+                    old_t = t_col[pl.ds(lo, chunk), :]
+                    old_idx = idx_col[pl.ds(lo, chunk), :]
+                    o_ch = tuple(x[lo:lo + chunk, :] for x in o_sc)
+                    d_ch = tuple(x[lo:lo + chunk, :] for x in d_c)
+                    t, u, v = _mt_block(o_ch, d_ch, tri, det_eps,
+                                        tmin_ch, old_t)
+                    t = jnp.where(ids >= 0, t, F32_MAX)
+                    min_t = jnp.min(t, axis=1, keepdims=True)
+                    at_min = t == min_t
+                    id_key = jnp.where(at_min & (ids >= 0), ids, int_max)
+                    best_id = jnp.min(id_key, axis=1, keepdims=True)
+                    old_key = jnp.where(old_idx >= 0, old_idx, int_max)
+                    take = (min_t < F32_MAX) & (
+                        (min_t < old_t)
+                        | ((min_t == old_t) & (best_id < old_key))
+                    )
+
+                    @pl.when(jnp.any(take))
+                    def _():
+                        pick = at_min & (id_key == best_id)
+                        w = 1.0 - u - v
+                        snx = w * n0x + u * n1x + v * n2x
+                        sny = w * n0y + u * n1y + v * n2y
+                        snz = w * n0z + u * n1z + v * n2z
+                        dg = d_ch[0] * gx + d_ch[1] * gy + d_ch[2] * gz
+                        gsign = jnp.where(dg < 0.0, 1.0, -1.0)
+                        ogx, ogy, ogz = gx * gsign, gy * gsign, gz * gsign
+                        len_sq = snx * snx + sny * sny + snz * snz
+                        inv_len = jax.lax.rsqrt(jnp.maximum(len_sq, 1e-38))
+                        use_geom = len_sq < 1e-12
+                        snx = jnp.where(use_geom, ogx, snx * inv_len)
+                        sny = jnp.where(use_geom, ogy, sny * inv_len)
+                        snz = jnp.where(use_geom, ogz, snz * inv_len)
+                        flip = (snx * ogx + sny * ogy + snz * ogz) < 0.0
+                        fsign = jnp.where(flip, -1.0, 1.0)
+                        sel = lambda q: jnp.sum(
+                            jnp.where(pick, q, 0.0), axis=1, keepdims=True
+                        )
+                        sl = pl.ds(lo, chunk)
+                        t_col[sl, :] = jnp.where(take, min_t, old_t)
+                        idx_col[sl, :] = jnp.where(take, best_id, old_idx)
+                        nx_c[sl, :] = jnp.where(
+                            take, sel(snx * fsign), nx_c[sl, :])
+                        ny_c[sl, :] = jnp.where(
+                            take, sel(sny * fsign), ny_c[sl, :])
+                        nz_c[sl, :] = jnp.where(
+                            take, sel(snz * fsign), nz_c[sl, :])
+                        sel_obj = jnp.sum(
+                            jnp.where(pick, objs, 0), axis=1, keepdims=True
+                        )
+                        obj_c[sl, :] = jnp.where(take, sel_obj, obj_c[sl, :])
+
+            t_lane[:] = _to_lane(t_col[:])
+
         if _DEBUG_SKIP_TRAVERSAL:
             return
         if use_plan:
@@ -346,11 +450,22 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
                 if not _DEBUG_SKIP_DENSE:
                     @pl.when(jnp.any(boxed))
                     def _():
-                        visit_block(k)
+                        if chunked:
+                            visit_block_chunked(
+                                k, _to_col(jnp.where(boxed, 1.0, 0.0)))
+                        else:
+                            visit_block(k)
 
                 return k + 1
 
             jax.lax.while_loop(f_cond, f_body, jnp.int32(0))
+            if chunked:
+                # winner attributes accumulated in column layout; one
+                # relayout each hands them to the lane-major consumers
+                nx_l[:] = _to_lane(nx_c[:])
+                ny_l[:] = _to_lane(ny_c[:])
+                nz_l[:] = _to_lane(nz_c[:])
+                obj_l[:] = _to_lane(obj_c[:])
         else:
             # MK_ORDERED_SCAN=1: centroid-ordered near-to-far scan.
             # Per-block conservative entry bound: euclidean distance from
@@ -420,12 +535,15 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
 def _make_shade(det_eps, shadow_eps, shadow_tmin, num_blocks,
                 n_lights, n_objects,
                 tri_ref, ids_ref, aabb_ref, lights_ref, mats_ref,
-                t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane):
+                t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+                chunk=0, blk_col=None):
     rt = t_lane.shape[1]
     s_tmin_l = jnp.full((1, rt), shadow_tmin, jnp.float32)
     s_tmin_c = jnp.full((rt, 1), shadow_tmin, jnp.float32)
+    if chunk:
+        s_tmin_ch = jnp.full((chunk, 1), shadow_tmin, jnp.float32)
 
-    def shade(o_l, d_l):
+    def shade(o_l, d_l, chunked=False):
         """Direct lighting at the current hit state (scratches).
 
         Returns (lo_rgb, hit_l, p_l): per-lane direct radiance
@@ -484,6 +602,8 @@ def _make_shade(det_eps, shadow_eps, shadow_tmin, num_blocks,
             facing = hit_l & (ndotl > 0.0) & (ndotv > 0.0)
 
             blk_lane[:] = jnp.zeros((1, rt), jnp.float32)
+            if chunked:
+                blk_col[:] = jnp.zeros((rt, 1), jnp.float32)
 
             def s_cond(k):
                 return (k < num_blocks) & jnp.any(
@@ -502,13 +622,43 @@ def _make_shade(det_eps, shadow_eps, shadow_tmin, num_blocks,
                         for k_ in range(9)
                     )
                     ids = ids_ref[pl.ds(k, 1), :]
-                    ts, _, _ = _mt_block(so_c, sd_c, tri, det_eps,
-                                         s_tmin_c, dist_c)
-                    ts = jnp.where(ids >= 0, ts, F32_MAX)
-                    s_hit = jnp.min(ts, axis=1, keepdims=True) < F32_MAX
-                    blk_lane[:] = jnp.maximum(
-                        blk_lane[:], _to_lane(jnp.where(s_hit, 1.0, 0.0))
-                    )
+                    if not chunked:
+                        ts, _, _ = _mt_block(so_c, sd_c, tri, det_eps,
+                                             s_tmin_c, dist_c)
+                        ts = jnp.where(ids >= 0, ts, F32_MAX)
+                        s_hit = (jnp.min(ts, axis=1, keepdims=True)
+                                 < F32_MAX)
+                        blk_lane[:] = jnp.maximum(
+                            blk_lane[:],
+                            _to_lane(jnp.where(s_hit, 1.0, 0.0))
+                        )
+                        return
+                    # bounce-phase shadows: same sublane-chunk gating
+                    # as visit_block_chunked — any-hit, so a skipped
+                    # chunk (no facing+unblocked+slab lane) is exact
+                    boxed_col = _to_col(jnp.where(boxed, 1.0, 0.0))
+                    for c in range(rt // chunk):
+                        lo = c * chunk
+                        pred = jnp.sum(boxed_col[lo:lo + chunk, :]) > 0.0
+
+                        @pl.when(pred)
+                        def _(lo=lo):
+                            so_ch = tuple(
+                                x[lo:lo + chunk, :] for x in so_c)
+                            sd_ch = tuple(
+                                x[lo:lo + chunk, :] for x in sd_c)
+                            ts, _, _ = _mt_block(
+                                so_ch, sd_ch, tri, det_eps, s_tmin_ch,
+                                dist_c[lo:lo + chunk, :])
+                            ts = jnp.where(ids >= 0, ts, F32_MAX)
+                            s_hit = (jnp.min(ts, axis=1, keepdims=True)
+                                     < F32_MAX)
+                            sl = pl.ds(lo, chunk)
+                            blk_col[sl, :] = jnp.maximum(
+                                blk_col[sl, :],
+                                jnp.where(s_hit, 1.0, 0.0))
+
+                    blk_lane[:] = _to_lane(blk_col[:])
 
                 return k + 1
 
@@ -606,7 +756,7 @@ def _make_rng_hemisphere(rng_st, hm_x, hm_y, hm_z):
 def _make_bounce(traverse, shade, rng_next_lane, hemisphere,
                  diffuse_bounce, n_objects, miss_rgb, mats_ref,
                  tp_refs, rd_refs, rng_st, alive_st, bo_refs, bd_refs,
-                 nx_l, ny_l, nz_l, obj_l):
+                 nx_l, ny_l, nz_l, obj_l, chunk_shadow=False):
     miss_r, miss_g, miss_b = miss_rgb
     tp_r, tp_g, tp_b = tp_refs
     rd_r, rd_g, rd_b = rd_refs
@@ -636,7 +786,8 @@ def _make_bounce(traverse, shade, rng_next_lane, hemisphere,
             o_sc = (_to_col(o_l[0]), _to_col(o_l[1]), _to_col(o_l[2]))
         traverse(o_sc, o_l, d_c, d_l, use_plan, alive)
 
-        (lo_r, lo_g, lo_b), hit_l, p_l = shade(o_l, d_l)
+        (lo_r, lo_g, lo_b), hit_l, p_l = shade(
+            o_l, d_l, chunked=chunk_shadow and not use_plan)
         found = hit_l & alive
         found_f = jnp.where(found, 1.0, 0.0)
         missed_f = jnp.where(alive & ~hit_l, 1.0, 0.0)
@@ -722,15 +873,25 @@ def _make_bounce(traverse, shade, rng_next_lane, hemisphere,
 
 
 def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
-                   max_depth, diffuse_bounce, terminal,
+                   max_depth, diffuse_bounce, terminal, chunk,
                    num_blocks, num_supers, n_lights, n_objects,
                    xy_ref, cam_ref, lights_ref, mats_ref, off_ref,
                    tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
                    order_ref, entry_ref,
                    r_out, g_out, b_out, *rest):
+    col_scr = None
     if terminal:
         (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
          acc_r, acc_g, acc_b, blk_lane) = rest
+        chunk = 0
+    elif chunk:
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+         acc_r, acc_g, acc_b, blk_lane,
+         tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
+         bo_x, bo_y, bo_z, bd_x, bd_y, bd_z,
+         hm_x, hm_y, hm_z,
+         nx_c, ny_c, nz_c, obj_c) = rest
+        col_scr = (nx_c, ny_c, nz_c, obj_c)
     else:
         (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
          acc_r, acc_g, acc_b, blk_lane,
@@ -772,11 +933,17 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
         tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
         order_ref, entry_ref,
         t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+        chunk=chunk, col_scr=col_scr,
     )
     shade = _make_shade(
         det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
         tri_ref, ids_ref, aabb_ref, lights_ref, mats_ref,
         t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+        chunk=chunk,
+        # nx_c doubles as the shadow blocked column: it is dead between
+        # the end of a traverse (cols -> lanes handoff) and the next
+        # traverse's re-initialization, which is exactly when shade runs
+        blk_col=col_scr[0] if chunk else None,
     )
 
     def primary_ray(s):
@@ -823,7 +990,7 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
             diffuse_bounce, n_objects, (miss_r, miss_g, miss_b), mats_ref,
             (tp_r, tp_g, tp_b), (rd_r, rd_g, rd_b), rng_st, alive_st,
             (bo_x, bo_y, bo_z), (bd_x, bd_y, bd_z),
-            nx_l, ny_l, nz_l, obj_l,
+            nx_l, ny_l, nz_l, obj_l, chunk_shadow=bool(chunk),
         )
 
         def sample_body(s, _):
@@ -871,7 +1038,7 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
 
 
 @partial(jax.jit, static_argnames=("spp", "interpret", "det_eps", "tmin",
-                                   "shadow_eps", "shadow_tmin"))
+                                   "shadow_eps", "shadow_tmin", "chunk"))
 def render_tiles(
     scene,
     xs: Array,
@@ -884,6 +1051,7 @@ def render_tiles(
     tmin: float = 1e-4,
     shadow_eps: float = 1e-3,
     shadow_tmin: float = 1e-4,
+    chunk: int = _CHUNK_ROWS,
 ) -> Array:
     """Fused render of swizzled pixel tiles -> (N, 3) radiance SUM over
     spp samples (callers divide; matches ``accumulate_samples``)."""
@@ -980,10 +1148,16 @@ def render_tiles(
         scratch += [lane() for _ in range(6)]
         scratch += [pltpu.VMEM((1, RAY_TILE), jnp.int32), lane()]  # rng, alive
         scratch += [lane() for _ in range(9)]  # bo, bd, hm
+        if chunk:
+            assert RAY_TILE % chunk == 0 and chunk % 8 == 0
+            # column winner attributes for the chunked bounce visits
+            scratch += [pltpu.VMEM((RAY_TILE, 1), jnp.float32)] * 3
+            scratch += [pltpu.VMEM((RAY_TILE, 1), jnp.int32)]
 
     outs = pl.pallas_call(
         partial(_render_kernel, spp, det_eps, tmin, shadow_eps, shadow_tmin,
                 max_depth, bool(scene.diffuse_bounce), terminal,
+                int(chunk) if not terminal else 0,
                 l, ls, n_lights, n_objects),
         out_shape=[jax.ShapeDtypeStruct((nt, RAY_TILE), jnp.float32)] * 3,
         grid_spec=pl.GridSpec(
