@@ -10,6 +10,7 @@ material table indexed by object id.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -165,6 +166,13 @@ def build_scene(config: SceneConfig, scene_path: str = ".", accel: str = "blocks
         accel_struct = build_block_grid(
             geometry.vertices, jnp.asarray(geometry.num_triangles),
             normals=geometry.normals, obj_ids=geometry.obj_id,
+            # 512-triangle blocks measured fastest on the frog depth-8
+            # workload (199.5 vs 215.7 ms at 128): same dense arithmetic,
+            # 4x fewer scan iterations / per-visit fixed costs, and the
+            # looser per-block slabs cost less than the saved overhead.
+            # Results are bit-identical across block sizes (tie-break on
+            # global triangle id).
+            block_size=int(os.environ.get("RT_BLOCK_SIZE", "512")),
         )
     elif accel not in (None, "none", "bruteforce"):
         raise ValueError(f"unknown accel {accel!r}")

@@ -16,6 +16,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+# The production default (512, tuned on the TPU) makes the CPU/interpret
+# suite several times slower; tests run the same code at 128.  Block-size
+# invariance itself is covered by the chunked/TP partition tests (results
+# tie-break on global triangle id, so images are block-size independent).
+os.environ.setdefault("RT_BLOCK_SIZE", "128")
 
 import pathlib
 
