@@ -53,7 +53,8 @@ from .pallas_kernels import (
     fits_vmem,
 )
 
-__all__ = ["megakernel_eligible", "render_tiles", "camera_tile_plan"]
+__all__ = ["megakernel_eligible", "render_tiles", "camera_tile_plan",
+           "emit_tiles", "resume_tiles"]
 
 MAX_OBJECTS = 32
 
@@ -68,6 +69,14 @@ _DEBUG_SKIP_DENSE = _os.environ.get("MK_SKIP_DENSE") == "1"
 _DEBUG_DENSE_ONLY = _os.environ.get("MK_DENSE_ONLY") == "1"
 _DEBUG_NO_DIST_EXIT = _os.environ.get("MK_NO_DIST_EXIT") == "1"
 _ORDERED_BOUNCE_SCAN = _os.environ.get("MK_ORDERED_SCAN") == "1"
+# timing bisect: keep the (t, id) winner update but skip the per-visit
+# normal/obj attribute selection (normals stay (0,0,1): image wrong,
+# alive-mask and scan behavior realistic)
+_DEBUG_SKIP_ATTRS = _os.environ.get("MK_SKIP_ATTRS") == "1"
+# timing bisect: skip dense visits only in BOUNCE traversals (camera
+# pass intact, so bounce wavefronts are realistic); isolates the pure
+# per-block scan overhead of the bounce flat scan
+_DEBUG_SKIP_DENSE_BOUNCE = _os.environ.get("MK_SKIP_DENSE_BOUNCE") == "1"
 
 # Sublane-chunked dense visits for incoherent bounce wavefronts: the
 # slab mask `boxed` says which of the tile's rays can possibly improve
@@ -288,6 +297,15 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
                 (min_t < old_t) | ((min_t == old_t) & (best_id < old_key))
             )
 
+            if _DEBUG_SKIP_ATTRS:
+                @pl.when(jnp.any(take))
+                def _():
+                    new_t = jnp.where(take, min_t, old_t)
+                    t_col[:] = new_t
+                    idx_col[:] = jnp.where(take, best_id, old_idx)
+                    t_lane[:] = _to_lane(new_t)
+                return
+
             @pl.when(jnp.any(take))
             def _():
                 new_t = jnp.where(take, min_t, old_t)
@@ -447,7 +465,8 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
             def f_body(k):
                 boxed = _tile_slab(aabb_ref, k, o_l, inv_l, tmin_l,
                                    t_lane[:]) & active_l
-                if not _DEBUG_SKIP_DENSE:
+                if not (_DEBUG_SKIP_DENSE
+                        or (_DEBUG_SKIP_DENSE_BOUNCE and not use_plan)):
                     @pl.when(jnp.any(boxed))
                     def _():
                         if chunked:
@@ -872,6 +891,45 @@ def _make_bounce(traverse, shade, rng_next_lane, hemisphere,
 # --- the fused kernel ---
 
 
+def _make_primary(xy_ref, cam_ref, off_ref):
+    """Camera scalars + the wang-hash jittered primary-ray builder.
+
+    Bit-compatible with ``core.rng.pixel_jitter`` / ``Camera.get_rays``
+    (``query.cu:36-43``, ``camera.h:49-53``); shared by the monolithic
+    render kernel and the wavefront emit kernel so the streams can
+    never diverge.  Returns (primary_ray, camera_xyz, miss_rgb).
+    """
+    cx, cy, cz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+    p0x, p0y, p0z = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
+    dux, duy, duz = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
+    dvx, dvy, dvz = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
+    miss_rgb = (cam_ref[0, 12], cam_ref[0, 13], cam_ref[0, 14])
+    off = off_ref[0, 0]
+
+    x_i = xy_ref[pl.ds(0, 1), :]  # (1, RT) int32
+    y_i = xy_ref[pl.ds(1, 1), :]
+    x_f = x_i.astype(jnp.float32)
+    y_f = y_i.astype(jnp.float32)
+    seed_pix = x_i * np.int32(73856093) ^ y_i * np.int32(19349663)
+
+    def primary_ray(s):
+        """Wang-hash jitter + camera ray (query.cu:36-43, camera.h:49-53);
+        returns lane-major unit directions and the rng seed state."""
+        h = seed_pix ^ ((s + off) * np.int32(83492791))
+        jx = _wang_float(h) - 0.5
+        h2 = h * np.int32(1664525) + np.int32(1013904223)
+        jy = _wang_float(h2) - 0.5
+        px = x_f + jx
+        py = y_f + jy
+        rx = (p0x + px * dux + py * dvx) - cx
+        ry = (p0y + px * duy + py * dvy) - cy
+        rz = (p0z + px * duz + py * dvz) - cz
+        rlen = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+        return (rx / rlen, ry / rlen, rz / rlen), h
+
+    return primary_ray, (cx, cy, cz), miss_rgb
+
+
 def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
                    max_depth, diffuse_bounce, terminal, chunk,
                    num_blocks, num_supers, n_lights, n_objects,
@@ -901,12 +959,8 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
     rt = t_col.shape[0]
     row = jax.lax.rem(pl.program_id(0), 8)
 
-    cx, cy, cz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
-    p0x, p0y, p0z = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
-    dux, duy, duz = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
-    dvx, dvy, dvz = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
-    miss_r, miss_g, miss_b = cam_ref[0, 12], cam_ref[0, 13], cam_ref[0, 14]
-    off = off_ref[0, 0]
+    primary_ray, (cx, cy, cz), (miss_r, miss_g, miss_b) = _make_primary(
+        xy_ref, cam_ref, off_ref)
 
     # empty plan -> every primary ray in the tile provably misses (and
     # with nothing hit, no bounces either): write the accumulated miss
@@ -921,12 +975,6 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
         r_out[pl.ds(row, 1), :] = jnp.full((1, rt), smr, jnp.float32)
         g_out[pl.ds(row, 1), :] = jnp.full((1, rt), smg, jnp.float32)
         b_out[pl.ds(row, 1), :] = jnp.full((1, rt), smb, jnp.float32)
-
-    x_i = xy_ref[pl.ds(0, 1), :]  # (1, RT) int32
-    y_i = xy_ref[pl.ds(1, 1), :]
-    x_f = x_i.astype(jnp.float32)
-    y_f = y_i.astype(jnp.float32)
-    seed_pix = x_i * np.int32(73856093) ^ y_i * np.int32(19349663)
 
     traverse = _make_traverse(
         det_eps, tmin, num_blocks, num_supers, row,
@@ -945,21 +993,6 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
         # traverse's re-initialization, which is exactly when shade runs
         blk_col=col_scr[0] if chunk else None,
     )
-
-    def primary_ray(s):
-        """Wang-hash jitter + camera ray (query.cu:36-43, camera.h:49-53);
-        returns lane-major unit directions and the rng seed state."""
-        h = seed_pix ^ ((s + off) * np.int32(83492791))
-        jx = _wang_float(h) - 0.5
-        h2 = h * np.int32(1664525) + np.int32(1013904223)
-        jy = _wang_float(h2) - 0.5
-        px = x_f + jx
-        py = y_f + jy
-        rx = (p0x + px * dux + py * dvx) - cx
-        ry = (p0y + px * duy + py * dvy) - cy
-        rz = (p0z + px * duz + py * dvz) - cz
-        rlen = jnp.sqrt(rx * rx + ry * ry + rz * rz)
-        return (rx / rlen, ry / rlen, rz / rlen), h
 
     if terminal:
         # --- V1 fast path: primary visibility + direct lighting only ---
@@ -1037,47 +1070,11 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
         b_out[pl.ds(row, 1), :] = acc_b[:]
 
 
-@partial(jax.jit, static_argnames=("spp", "interpret", "det_eps", "tmin",
-                                   "shadow_eps", "shadow_tmin", "chunk"))
-def render_tiles(
-    scene,
-    xs: Array,
-    ys: Array,
-    spp: int,
-    sample_offset=0,
-    *,
-    interpret: bool = False,
-    det_eps: float = 1e-8,
-    tmin: float = 1e-4,
-    shadow_eps: float = 1e-3,
-    shadow_tmin: float = 1e-4,
-    chunk: int = _CHUNK_ROWS,
-) -> Array:
-    """Fused render of swizzled pixel tiles -> (N, 3) radiance SUM over
-    spp samples (callers divide; matches ``accumulate_samples``)."""
-    grid = scene.accel
+def _scene_rows(scene, grid):
+    """Host-side operand prep shared by the fused kernels: scalar rows
+    (SMEM) + plane-SoA geometry (VMEM) with their BlockSpecs."""
     cam = scene.camera
     l, b = grid.tri_index.shape
-    n = xs.shape[0]
-    # pad to 8 whole tiles: output blocks are (8, RAY_TILE) rows shared
-    # by 8 consecutive programs (dense writes, one flush per 8 programs)
-    pad = (-n) % (8 * RAY_TILE)
-    if pad:
-        xs = jnp.concatenate([xs, jnp.zeros(pad, xs.dtype)])
-        ys = jnp.concatenate([ys, jnp.zeros(pad, ys.dtype)])
-    np_rays = n + pad
-    nt = np_rays // RAY_TILE
-
-    order, entry = camera_tile_plan(cam, xs, ys, grid, RAY_TILE)
-    order, entry = _pad_plan_rows(order, entry)
-    ls = order.shape[1]
-
-    # rows [8i]=x, [8i+1]=y, rest zero-pad (Mosaic needs 8-row blocks)
-    xy = jnp.concatenate(
-        [xs.reshape(nt, 1, RAY_TILE), ys.reshape(nt, 1, RAY_TILE),
-         jnp.zeros((nt, 6, RAY_TILE), xs.dtype)], axis=1
-    ).reshape(8 * nt, RAY_TILE)
-
     cam_row = jnp.concatenate([
         cam.center, cam.pixel00_loc, cam.pixel_delta_u, cam.pixel_delta_v,
         jnp.asarray(scene.miss_color, jnp.float32).reshape(3),
@@ -1100,8 +1097,6 @@ def render_tiles(
         jnp.zeros((n_objects, 3), jnp.float32),
     ], axis=1)  # (NO, 16)
 
-    off_row = jnp.asarray(sample_offset, jnp.int32).reshape(1, 1)
-
     tri_rows = grid.tri.reshape(9 * l, b)
     norm_rows = grid.norm.reshape(12 * l, b)
     aabb_rows = jnp.pad(grid.aabb.T, (((0, (-l) % 8)), (0, 2)))  # (Lp, 8)
@@ -1112,21 +1107,75 @@ def render_tiles(
     aabb_lane = jnp.pad(grid.aabb, ((0, 2), (0, lb - l)),
                         constant_values=np.float32(3e38))  # (8, LB)
 
-    in_specs = [
-        pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # cam row
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # lights
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # materials
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # sample offset
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # norm rows
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # ids
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # obj ids
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # aabb rows
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # aabb lane-major
-        pl.BlockSpec((8, ls), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((8, ls), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
-    ]
+    scalar_ops = (cam_row, lights_rows, mats_rows)
+    scalar_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+    geom_ops = (tri_rows, norm_rows, grid.tri_index, grid.obj,
+                aabb_rows, aabb_lane)
+    geom_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+    return (scalar_ops, scalar_specs, geom_ops, geom_specs,
+            n_lights, n_objects)
+
+
+def _pad_tiles(xs, ys):
+    """Pad the swizzled pixel stream to whole 8-tile groups (output
+    blocks are (8, RAY_TILE) rows shared by 8 consecutive programs)."""
+    n = xs.shape[0]
+    pad = (-n) % (8 * RAY_TILE)
+    if pad:
+        xs = jnp.concatenate([xs, jnp.zeros(pad, xs.dtype)])
+        ys = jnp.concatenate([ys, jnp.zeros(pad, ys.dtype)])
+    return xs, ys, n, n + pad
+
+
+@partial(jax.jit, static_argnames=("spp", "interpret", "det_eps", "tmin",
+                                   "shadow_eps", "shadow_tmin", "chunk"))
+def render_tiles(
+    scene,
+    xs: Array,
+    ys: Array,
+    spp: int,
+    sample_offset=0,
+    *,
+    interpret: bool = False,
+    det_eps: float = 1e-8,
+    tmin: float = 1e-4,
+    shadow_eps: float = 1e-3,
+    shadow_tmin: float = 1e-4,
+    chunk: int = _CHUNK_ROWS,
+) -> Array:
+    """Fused render of swizzled pixel tiles -> (N, 3) radiance SUM over
+    spp samples (callers divide; matches ``accumulate_samples``)."""
+    grid = scene.accel
+    cam = scene.camera
+    l, b = grid.tri_index.shape
+    xs, ys, n, np_rays = _pad_tiles(xs, ys)
+    nt = np_rays // RAY_TILE
+
+    order, entry = camera_tile_plan(cam, xs, ys, grid, RAY_TILE)
+    order, entry = _pad_plan_rows(order, entry)
+    ls = order.shape[1]
+
+    # rows [8i]=x, [8i+1]=y, rest zero-pad (Mosaic needs 8-row blocks)
+    xy = jnp.concatenate(
+        [xs.reshape(nt, 1, RAY_TILE), ys.reshape(nt, 1, RAY_TILE),
+         jnp.zeros((nt, 6, RAY_TILE), xs.dtype)], axis=1
+    ).reshape(8 * nt, RAY_TILE)
+
+    (scalar_ops, scalar_specs, geom_ops, geom_specs,
+     n_lights, n_objects) = _scene_rows(scene, grid)
+    off_row = jnp.asarray(sample_offset, jnp.int32).reshape(1, 1)
+
+    in_specs = (
+        [pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)]
+        + scalar_specs
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]  # sample offset
+        + geom_specs
+        + [pl.BlockSpec((8, ls), lambda i: (i // 8, 0),
+                        memory_space=pltpu.SMEM),
+           pl.BlockSpec((8, ls), lambda i: (i // 8, 0),
+                        memory_space=pltpu.SMEM)]
+    )
     out_row = lambda: pl.BlockSpec(
         (8, RAY_TILE), lambda i: (i // 8, 0), memory_space=pltpu.VMEM
     )
@@ -1167,10 +1216,321 @@ def render_tiles(
             scratch_shapes=scratch,
         ),
         interpret=interpret,
-    )(xy, cam_row, lights_rows, mats_rows, off_row,
-      tri_rows, norm_rows, grid.tri_index, grid.obj, aabb_rows, aabb_lane,
-      order, entry)
+    )(xy, *scalar_ops, off_row, *geom_ops, order, entry)
 
     return jnp.stack(
         [a.reshape(np_rays)[:n] for a in outs], axis=1
     )  # (N, 3) sums
+
+
+# --- wavefront split: emit (depth 0) + resume (depths 1..max-1) ---
+#
+# The monolithic kernel wastes most of its bounce arithmetic: after a
+# diffuse bounce only a few % of a camera tile's lanes stay alive, yet
+# every gated dense visit still computes all RAY_TILE rows.  The
+# wavefront path splits the sample at the first bounce boundary:
+# ``emit_tiles`` runs depth 0 (jitter/camera/traversal/direct light)
+# and writes each ray's bounce state; the caller globally sorts rays
+# by (alive, direction octant, origin morton) -- compaction by
+# ``lax.sort``, the one fast reorder primitive on TPU (gathers and
+# scatters are not; see scripts/probe_compact_glue.py) -- and
+# ``resume_tiles`` runs the remaining depths on dense, coherent tiles
+# where dead tiles form a suffix that exits at one scalar test.
+
+_ST_ROWS = 16  # rows: bo xyz, bd xyz, tp rgb, rd rgb, alive, pad x3
+
+
+def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
+                 num_blocks, num_supers, n_lights, n_objects,
+                 xy_ref, cam_ref, lights_ref, mats_ref, off_ref,
+                 tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
+                 order_ref, entry_ref,
+                 st_out, rng_out, *scratch):
+    (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+     tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
+     bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z) = scratch
+    rt = t_col.shape[0]
+    row = jax.lax.rem(pl.program_id(0), 8)
+
+    primary_ray, (cx, cy, cz), (miss_r, miss_g, miss_b) = _make_primary(
+        xy_ref, cam_ref, off_ref)
+
+    zeros = jnp.zeros((1, rt), jnp.float32)
+    for r_ in range(13, _ST_ROWS):
+        st_out[pl.ds(r_, 1), :] = zeros
+    zeros_i = jnp.zeros((1, rt), jnp.int32)
+    for r_ in range(1, 8):
+        rng_out[pl.ds(r_, 1), :] = zeros_i
+
+    # empty plan: every primary ray provably misses -> dead state whose
+    # radiance is the raw miss color (the per-sample clip happens at
+    # accumulation, matching the monolithic kernel's order of ops)
+    has_work = entry_ref[row, 0] < jnp.inf
+
+    @pl.when(~has_work)
+    def _():
+        # dead state, but with a valid unit direction: a zero direction
+        # would be the one ray state the monolithic kernel can never
+        # produce (dead lanes there keep their last real direction),
+        # and 1/0 direction components poison downstream math
+        for r_ in range(5):
+            st_out[pl.ds(r_, 1), :] = zeros
+        st_out[pl.ds(5, 1), :] = jnp.ones((1, rt), jnp.float32)
+        for r_ in range(6, 9):
+            st_out[pl.ds(r_, 1), :] = zeros
+        st_out[pl.ds(9, 1), :] = jnp.full((1, rt), miss_r, jnp.float32)
+        st_out[pl.ds(10, 1), :] = jnp.full((1, rt), miss_g, jnp.float32)
+        st_out[pl.ds(11, 1), :] = jnp.full((1, rt), miss_b, jnp.float32)
+        st_out[pl.ds(12, 1), :] = zeros
+        rng_out[pl.ds(0, 1), :] = zeros_i
+
+    traverse = _make_traverse(
+        det_eps, tmin, num_blocks, num_supers, row,
+        tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
+        order_ref, entry_ref,
+        t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+    )
+    shade = _make_shade(
+        det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
+        tri_ref, ids_ref, aabb_ref, lights_ref, mats_ref,
+        t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+    )
+    rng_next_lane, hemisphere = _make_rng_hemisphere(
+        rng_st, hm_x, hm_y, hm_z)
+    bounce = _make_bounce(
+        traverse, shade, rng_next_lane, hemisphere,
+        diffuse_bounce, n_objects, (miss_r, miss_g, miss_b), mats_ref,
+        (tp_r, tp_g, tp_b), (rd_r, rd_g, rd_b), rng_st, alive_st,
+        (bo_x, bo_y, bo_z), (bd_x, bd_y, bd_z),
+        nx_l, ny_l, nz_l, obj_l,
+    )
+
+    @pl.when(has_work)
+    def _():
+        d_l, h = primary_ray(jnp.int32(0))
+        bd_x[:], bd_y[:], bd_z[:] = d_l
+        bo_x[:] = jnp.full((1, rt), cx, jnp.float32)
+        bo_y[:] = jnp.full((1, rt), cy, jnp.float32)
+        bo_z[:] = jnp.full((1, rt), cz, jnp.float32)
+        rng_st[:] = h
+        tp_r[:] = jnp.ones((1, rt), jnp.float32)
+        tp_g[:] = jnp.ones((1, rt), jnp.float32)
+        tp_b[:] = jnp.ones((1, rt), jnp.float32)
+        rd_r[:] = zeros
+        rd_g[:] = zeros
+        rd_b[:] = zeros
+        alive_st[:] = jnp.ones((1, rt), jnp.float32)
+
+        # depth 0: planned, shared-origin traversal + direct light +
+        # the RR bounce decision (bit-identical to the monolithic path)
+        bounce(True, (cx, cy, cz))
+
+        for r_, ref in enumerate((bo_x, bo_y, bo_z, bd_x, bd_y, bd_z,
+                                  tp_r, tp_g, tp_b, rd_r, rd_g, rd_b,
+                                  alive_st)):
+            st_out[pl.ds(r_, 1), :] = ref[:]
+        rng_out[pl.ds(0, 1), :] = rng_st[:]
+
+
+def _resume_kernel(det_eps, tmin, shadow_eps, shadow_tmin, max_depth,
+                   diffuse_bounce, num_blocks, num_supers,
+                   n_lights, n_objects,
+                   cam_ref, lights_ref, mats_ref,
+                   tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
+                   order_ref, entry_ref, st_ref, rng_ref,
+                   r_out, g_out, b_out, *scratch):
+    (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+     tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
+     bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z) = scratch
+    rt = t_col.shape[0]
+    row = jax.lax.rem(pl.program_id(0), 8)
+    miss_r, miss_g, miss_b = cam_ref[0, 12], cam_ref[0, 13], cam_ref[0, 14]
+
+    for r_, ref in enumerate((bo_x, bo_y, bo_z, bd_x, bd_y, bd_z,
+                              tp_r, tp_g, tp_b, rd_r, rd_g, rd_b,
+                              alive_st)):
+        ref[:] = st_ref[pl.ds(r_, 1), :]
+    rng_st[:] = rng_ref[pl.ds(0, 1), :]
+
+    traverse = _make_traverse(
+        det_eps, tmin, num_blocks, num_supers, row,
+        tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
+        order_ref, entry_ref,
+        t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+    )
+    shade = _make_shade(
+        det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
+        tri_ref, ids_ref, aabb_ref, lights_ref, mats_ref,
+        t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+    )
+    rng_next_lane, hemisphere = _make_rng_hemisphere(
+        rng_st, hm_x, hm_y, hm_z)
+    bounce = _make_bounce(
+        traverse, shade, rng_next_lane, hemisphere,
+        diffuse_bounce, n_objects, (miss_r, miss_g, miss_b), mats_ref,
+        (tp_r, tp_g, tp_b), (rd_r, rd_g, rd_b), rng_st, alive_st,
+        (bo_x, bo_y, bo_z), (bd_x, bd_y, bd_z),
+        nx_l, ny_l, nz_l, obj_l,
+    )
+
+    # the sort puts dead rays last, so dead tiles are a suffix of the
+    # grid; they fall through to the passthrough writes below
+    @pl.when(jnp.any(alive_st[:] > 0.0))
+    def _():
+        def d_cond(depth):
+            return (depth < max_depth) & jnp.any(alive_st[:] > 0.0)
+
+        def d_body(depth):
+            bounce(False)
+            return depth + 1
+
+        jax.lax.while_loop(d_cond, d_body, jnp.int32(1))
+
+    r_out[pl.ds(row, 1), :] = rd_r[:]
+    g_out[pl.ds(row, 1), :] = rd_g[:]
+    b_out[pl.ds(row, 1), :] = rd_b[:]
+
+
+def _bounce_scratch():
+    lane = lambda: pltpu.VMEM((1, RAY_TILE), jnp.float32)
+    return (
+        [pltpu.VMEM((RAY_TILE, 1), jnp.float32),   # t_col
+         pltpu.VMEM((RAY_TILE, 1), jnp.int32),     # idx_col
+         lane(), lane(), lane(), lane(),           # t_lane, normal xyz
+         pltpu.VMEM((1, RAY_TILE), jnp.int32),     # obj
+         lane()]                                   # shadow blocked
+        + [lane() for _ in range(6)]               # tp rgb, rd rgb
+        + [pltpu.VMEM((1, RAY_TILE), jnp.int32), lane()]  # rng, alive
+        + [lane() for _ in range(9)]               # bo, bd, hm
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret", "det_eps", "tmin",
+                                   "shadow_eps", "shadow_tmin"))
+def emit_tiles(
+    scene,
+    xs: Array,
+    ys: Array,
+    sample_offset=0,
+    *,
+    interpret: bool = False,
+    det_eps: float = 1e-8,
+    tmin: float = 1e-4,
+    shadow_eps: float = 1e-3,
+    shadow_tmin: float = 1e-4,
+):
+    """Depth-0 pass of the wavefront path: camera rays + direct light +
+    the RR bounce decision.  Returns (state, rng_state):
+    state (nt*16, RAY_TILE) f32 rows per tile [bo xyz, bd xyz, tp rgb,
+    rd rgb, alive, pad x3]; rng_state (nt*8, RAY_TILE) i32, row 0 live.
+    """
+    grid = scene.accel
+    xs, ys, n, np_rays = _pad_tiles(xs, ys)
+    nt = np_rays // RAY_TILE
+
+    order, entry = camera_tile_plan(scene.camera, xs, ys, grid, RAY_TILE)
+    order, entry = _pad_plan_rows(order, entry)
+    ls = order.shape[1]
+
+    xy = jnp.concatenate(
+        [xs.reshape(nt, 1, RAY_TILE), ys.reshape(nt, 1, RAY_TILE),
+         jnp.zeros((nt, 6, RAY_TILE), xs.dtype)], axis=1
+    ).reshape(8 * nt, RAY_TILE)
+
+    (scalar_ops, scalar_specs, geom_ops, geom_specs,
+     n_lights, n_objects) = _scene_rows(scene, grid)
+    off_row = jnp.asarray(sample_offset, jnp.int32).reshape(1, 1)
+    l = grid.num_blocks
+
+    in_specs = (
+        [pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)]
+        + scalar_specs
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + geom_specs
+        + [pl.BlockSpec((8, ls), lambda i: (i // 8, 0),
+                        memory_space=pltpu.SMEM),
+           pl.BlockSpec((8, ls), lambda i: (i // 8, 0),
+                        memory_space=pltpu.SMEM)]
+    )
+
+    st, rng = pl.pallas_call(
+        partial(_emit_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
+                bool(scene.diffuse_bounce), l, ls, n_lights, n_objects),
+        out_shape=[
+            jax.ShapeDtypeStruct((nt * _ST_ROWS, RAY_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((nt * 8, RAY_TILE), jnp.int32),
+        ],
+        grid_spec=pl.GridSpec(
+            grid=(nt,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((_ST_ROWS, RAY_TILE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=_bounce_scratch(),
+        ),
+        interpret=interpret,
+    )(xy, *scalar_ops, off_row, *geom_ops, order, entry)
+    return st, rng
+
+
+@partial(jax.jit, static_argnames=("interpret", "det_eps", "tmin",
+                                   "shadow_eps", "shadow_tmin"))
+def resume_tiles(
+    scene,
+    state: Array,
+    rng_state: Array,
+    *,
+    interpret: bool = False,
+    det_eps: float = 1e-8,
+    tmin: float = 1e-4,
+    shadow_eps: float = 1e-3,
+    shadow_tmin: float = 1e-4,
+):
+    """Bounce depths 1..max_bounces-1 on (usually sorted/compacted)
+    per-ray state from ``emit_tiles``.  Returns the per-ray path
+    radiance (nt, RAY_TILE) x rgb, in the state's ray order."""
+    grid = scene.accel
+    nt = state.shape[0] // _ST_ROWS
+
+    (scalar_ops, scalar_specs, geom_ops, geom_specs,
+     n_lights, n_objects) = _scene_rows(scene, grid)
+    l = grid.num_blocks
+    # the resume pass never traverses with a plan; tiny dummies keep
+    # the shared traverse builder's signature satisfied
+    order = jnp.zeros((8, 128), jnp.int32)
+    entry = jnp.zeros((8, 128), jnp.float32)
+
+    in_specs = (
+        scalar_specs
+        + geom_specs
+        + [pl.BlockSpec((8, 128), lambda i: (0, 0),
+                        memory_space=pltpu.SMEM),
+           pl.BlockSpec((8, 128), lambda i: (0, 0),
+                        memory_space=pltpu.SMEM),
+           pl.BlockSpec((_ST_ROWS, RAY_TILE), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)]
+    )
+    out_row = lambda: pl.BlockSpec(
+        (8, RAY_TILE), lambda i: (i // 8, 0), memory_space=pltpu.VMEM
+    )
+
+    outs = pl.pallas_call(
+        partial(_resume_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
+                int(scene.max_bounces), bool(scene.diffuse_bounce),
+                l, 128, n_lights, n_objects),
+        out_shape=[jax.ShapeDtypeStruct((nt, RAY_TILE), jnp.float32)] * 3,
+        grid_spec=pl.GridSpec(
+            grid=(nt,),
+            in_specs=in_specs,
+            out_specs=[out_row(), out_row(), out_row()],
+            scratch_shapes=_bounce_scratch(),
+        ),
+        interpret=interpret,
+    )(*scalar_ops, *geom_ops, order, entry, state, rng_state)
+    return outs

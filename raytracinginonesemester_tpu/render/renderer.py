@@ -16,6 +16,7 @@ of the reference's 32-sample register batches (``query.cu:39-65``).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -213,10 +214,23 @@ def render_scene(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas and megakernel_eligible(scene, jitter_mode):
-        accum = render_tiles(
-            scene, xs, ys, spp, sample_offset=sample_offset,
-            interpret=jax.default_backend() != "tpu",
-        )
+        interpret = jax.default_backend() != "tpu"
+        bouncing = bool(scene.diffuse_bounce) or not scene.terminal_only
+        if bouncing and os.environ.get("RT_WAVEFRONT", "0") == "1":
+            # sort-compacted bounce wavefronts (ops.wavefront): packs
+            # the sparse post-bounce ray population into dense,
+            # direction/origin-coherent tiles; bit-identical images
+            from ..ops.wavefront import render_tiles_wavefront
+
+            accum = render_tiles_wavefront(
+                scene, xs, ys, spp, sample_offset=sample_offset,
+                interpret=interpret,
+            )
+        else:
+            accum = render_tiles(
+                scene, xs, ys, spp, sample_offset=sample_offset,
+                interpret=interpret,
+            )
     else:
         accum = accumulate_samples(
             scene, xs, ys, spp, jitter_mode, ray_tile,
