@@ -160,8 +160,21 @@ def render_tiles_wavefront(
                 jnp.clip(b2, 0.0, 1.0))
 
     off = jnp.asarray(sample_offset, jnp.int32)
-    acc = [jnp.zeros(np_rays, jnp.float32) for _ in range(3)]
-    for s in range(spp):
-        sample = one_sample(off + s)
-        acc = [a + c for a, c in zip(acc, sample)]
+    if spp <= 4:
+        acc = [jnp.zeros(np_rays, jnp.float32) for _ in range(3)]
+        for s in range(spp):
+            sample = one_sample(off + s)
+            acc = [a + c for a, c in zip(acc, sample)]
+    else:
+        # one traced pipeline, scanned over samples (the HLO would
+        # otherwise contain spp copies of emit/sort/resume)
+        def step(carry, s):
+            sample = one_sample(off + s)
+            return tuple(a + c for a, c in zip(carry, sample)), None
+
+        acc, _ = jax.lax.scan(
+            step,
+            tuple(jnp.zeros(np_rays, jnp.float32) for _ in range(3)),
+            jnp.arange(spp, dtype=jnp.int32),
+        )
     return jnp.stack([a[:n] for a in acc], axis=1)  # (N, 3) sums
