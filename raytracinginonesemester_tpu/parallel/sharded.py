@@ -20,6 +20,7 @@ produces the identical image (``core.rng`` docstring).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -82,10 +83,45 @@ def shard_scene_blocks(scene: Scene, num_shards: int) -> Scene:
     return dataclasses.replace(scene, accel=grid)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("mesh", "jitter_mode", "ray_tile", "spp_override", "model_axis"),
-)
+@partial(jax.jit, static_argnames=("mesh", "spp", "wavefront"))
+def _render_sharded_fast(scene: Scene, mesh: Mesh, spp: int,
+                         wavefront: bool) -> Array:
+    """DP-shard the swizzled tile stream and run the single-chip fast
+    path (megakernel, or sort-compacted wavefront when enabled) on each
+    shard.  Bit-identical to any other sharding by per-pixel seeding."""
+    from ..ops.megakernel import render_tiles
+    from ..render.renderer import _swizzled_grid, _unswizzle
+
+    w, h = scene.camera.width, scene.camera.height
+    xs, ys, (hp, wp) = _swizzled_grid(w, h)
+    n_swz = xs.shape[0]
+    n_data = mesh.shape["data"]
+    padded = ((n_swz + n_data - 1) // n_data) * n_data
+    if padded != n_swz:
+        xs = jnp.concatenate([xs, jnp.zeros(padded - n_swz, xs.dtype)])
+        ys = jnp.concatenate([ys, jnp.zeros(padded - n_swz, ys.dtype)])
+
+    interpret = jax.default_backend() != "tpu"
+    bouncing = bool(scene.diffuse_bounce) or not scene.terminal_only
+    if bouncing and wavefront:
+        from ..ops.wavefront import render_tiles_wavefront as fast_fn
+    else:
+        fast_fn = render_tiles
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), scene), P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    def shard_fn(scene_local: Scene, xs_l: Array, ys_l: Array) -> Array:
+        return fast_fn(scene_local, xs_l, ys_l, spp, interpret=interpret)
+
+    accum = shard_fn(scene, xs, ys)
+    return _unswizzle(accum[:n_swz], w, h, hp, wp) / float(spp)
+
+
 def render_scene_sharded(
     scene: Scene,
     mesh: Mesh,
@@ -102,9 +138,44 @@ def render_scene_sharded(
     """
     spp = spp_override if spp_override is not None else scene.spp
     w, h = scene.camera.width, scene.camera.height
-    xs, ys = _pixel_grid(w, h)
     jitter_mode = resolve_jitter_mode(scene, jitter_mode, spp)
 
+    # fast path: pure data parallelism routes through the fused
+    # kernels (megakernel / wavefront), same as single-chip rendering —
+    # pixel seeding makes images independent of the sharding, so this
+    # is exactly the single-chip fast path on each shard's tile stream
+    from ..ops.megakernel import megakernel_eligible
+
+    # same dispatch criterion as render_scene: the sharded image must be
+    # bit-identical to the unsharded one ON THE SAME BACKEND, so the
+    # fast path engages exactly when single-chip rendering would use it
+    use_pallas = scene.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if (
+        (model_axis is None or mesh.shape.get(model_axis, 1) == 1)
+        and use_pallas
+        and megakernel_eligible(scene, jitter_mode)
+    ):
+        # RT_WAVEFRONT is read here, outside jit, so toggling it is
+        # never masked by the trace cache
+        wavefront = os.environ.get("RT_WAVEFRONT", "0") == "1"
+        return _render_sharded_fast(scene, mesh, spp, wavefront)
+
+    return _render_sharded_staged(
+        scene, mesh, jitter_mode, ray_tile, spp, model_axis)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "jitter_mode", "ray_tile", "spp", "model_axis"),
+)
+def _render_sharded_staged(scene, mesh, jitter_mode, ray_tile, spp,
+                           model_axis):
+    """The staged (XLA integrator) sharded render: the general path,
+    required whenever triangle blocks shard over a model axis."""
+    w, h = scene.camera.width, scene.camera.height
+    xs, ys = _pixel_grid(w, h)
     n_data = mesh.shape["data"]
     num_rays = w * h
     padded = ((num_rays + n_data - 1) // n_data) * n_data

@@ -92,3 +92,29 @@ def test_dryrun_multichip_entrypoint():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_dp8_fast_path_bit_identical():
+    """DP sharding through the fused-kernel fast path (the TPU route)
+    must match the unsharded fused render bit-for-bit."""
+    import dataclasses
+
+    scene = load_scene(SCENE)
+    scene = dataclasses.replace(scene, use_pallas=True)
+    mesh = make_mesh((8,), ("data",))
+    img_s = np.asarray(render_scene_sharded(scene, mesh))
+    img_r = np.asarray(render_scene(scene))
+    np.testing.assert_array_equal(img_s, img_r)
+
+
+def test_dp8_fast_path_wavefront_bit_identical(monkeypatch):
+    """Same, with the sort-compacted wavefront scheduler enabled."""
+    import dataclasses
+
+    monkeypatch.setenv("RT_WAVEFRONT", "1")
+    scene = load_scene(SCENE)
+    scene = dataclasses.replace(scene, use_pallas=True)
+    mesh = make_mesh((8,), ("data",))
+    img_s = np.asarray(render_scene_sharded(scene, mesh))
+    img_r = np.asarray(render_scene(scene))
+    np.testing.assert_array_equal(img_s, img_r)
