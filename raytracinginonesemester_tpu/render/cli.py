@@ -44,6 +44,13 @@ def main(argv=None):
     ap.add_argument("--jitter", default="auto",
                     choices=("auto", "wang", "reference_cpu", "center"))
     ap.add_argument("--ppm", default=None, help="also write a PPM P6 file")
+    ap.add_argument("--progressive", type=int, default=0, metavar="CHUNK",
+                    help="render spp in CHUNK-sample dispatches "
+                    "(progressive accumulation; chunk 1 is bit-identical "
+                    "to one-shot)")
+    ap.add_argument("--state-dir", default=None,
+                    help="with --progressive: persist the accumulator "
+                    "here after every chunk and resume from it")
     ap.add_argument("--stage-preview", action="store_true",
                     help="write a stage-preview PNG instead of rendering")
     ap.add_argument("--export-bvh", default=None, metavar="OBJ",
@@ -111,7 +118,17 @@ def main(argv=None):
               f"spp={scene.spp} bounces={scene.max_bounces} "
               f"dialect={scene.dialect}", file=sys.stderr)
         t0 = time.time()
-        img = np.asarray(render_scene(scene, jitter_mode=args.jitter))
+        if args.progressive:
+            from .progressive import render_progressive
+
+            def report(done, _preview):
+                print(f"  {done}/{scene.spp} spp", file=sys.stderr)
+
+            img = render_progressive(
+                scene, chunk=args.progressive, jitter_mode=args.jitter,
+                state_dir=args.state_dir, on_chunk=report)
+        else:
+            img = np.asarray(render_scene(scene, jitter_mode=args.jitter))
         print(f"Render time: {time.time() - t0:.3f} s", file=sys.stderr)
 
         if args.output:

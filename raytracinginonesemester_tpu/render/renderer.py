@@ -174,13 +174,15 @@ def accumulate_samples(
     return accum
 
 
-@partial(jax.jit, static_argnames=("jitter_mode", "ray_tile", "spp_override"))
+@partial(jax.jit, static_argnames=("jitter_mode", "ray_tile", "spp_override",
+                                   "normalize"))
 def render_scene(
     scene: Scene,
     jitter_mode: str = "auto",
     ray_tile: int = DEFAULT_RAY_TILE,
     spp_override: Optional[int] = None,
     sample_offset: Array | int = 0,
+    normalize: bool = True,
 ) -> Array:
     """Render a built scene to a linear (H, W, 3) float32 image.
 
@@ -200,6 +202,10 @@ def render_scene(
     The per-ray RNG seed is ``make_rng_seed(x, y, sample)`` in every mode
     (``query.h:44-48``), so images are independent of ray-tile size and
     device sharding.
+
+    ``normalize=False`` returns the raw per-pixel radiance SUM over the
+    spp samples (no ``/spp``) — the accumulation unit for progressive /
+    resumable rendering (``render.progressive``).
     """
     spp = spp_override if spp_override is not None else scene.spp
     w, h = scene.camera.width, scene.camera.height
@@ -236,7 +242,8 @@ def render_scene(
             scene, xs, ys, spp, jitter_mode, ray_tile,
             sample_offset=sample_offset,
         )
-    return _unswizzle(accum, w, h, hp, wp) / float(spp)
+    img = _unswizzle(accum, w, h, hp, wp)
+    return img / float(spp) if normalize else img
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "ray_tile"))

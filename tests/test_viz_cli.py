@@ -94,3 +94,25 @@ def test_stage_preview(tmp_path):
     out = str(tmp_path / "stage.png")
     stage_preview(config, scene_path=scene_path, out_png=out, grid_step=32)
     assert os.path.getsize(out) > 10000
+
+
+def test_cli_progressive_render(tmp_path):
+    """--progressive chunked render matches the one-shot CLI render
+    byte-for-byte (chunk=1 replays the kernel accumulation order) and
+    persists a resumable state file."""
+    from raytracinginonesemester_tpu.render.cli import main
+
+    scene = str(REPO / "tests/assets/scenes/gpu_diffuse.json")
+    one = str(tmp_path / "one.png")
+    rc = main([scene, "-o", one, "--spp", "2", "--width", "48",
+               "--height", "32"])
+    assert rc == 0
+    prog = str(tmp_path / "prog.png")
+    state = str(tmp_path / "state")
+    rc = main([scene, "-o", prog, "--spp", "2", "--width", "48",
+               "--height", "32", "--progressive", "1",
+               "--state-dir", state])
+    assert rc == 0
+    with open(one, "rb") as a, open(prog, "rb") as b:
+        assert a.read() == b.read()
+    assert os.path.exists(os.path.join(state, "render_state.npz"))
