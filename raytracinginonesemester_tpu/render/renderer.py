@@ -174,8 +174,6 @@ def accumulate_samples(
     return accum
 
 
-@partial(jax.jit, static_argnames=("jitter_mode", "ray_tile", "spp_override",
-                                   "normalize"))
 def render_scene(
     scene: Scene,
     jitter_mode: str = "auto",
@@ -207,6 +205,28 @@ def render_scene(
     spp samples (no ``/spp``) — the accumulation unit for progressive /
     resumable rendering (``render.progressive``).
     """
+    # RT_WAVEFRONT is read here, OUTSIDE the jitted body, and passed as
+    # a static arg — an env read inside the traced function would be
+    # captured at first trace and masked by the jit cache thereafter
+    # (the sharded driver does the same; parallel/sharded.py)
+    wavefront = os.environ.get("RT_WAVEFRONT", "0") == "1"
+    return _render_scene_jit(
+        scene, jitter_mode=jitter_mode, ray_tile=ray_tile,
+        spp_override=spp_override, sample_offset=sample_offset,
+        normalize=normalize, wavefront=wavefront)
+
+
+@partial(jax.jit, static_argnames=("jitter_mode", "ray_tile", "spp_override",
+                                   "normalize", "wavefront"))
+def _render_scene_jit(
+    scene: Scene,
+    jitter_mode: str,
+    ray_tile: int,
+    spp_override: Optional[int],
+    sample_offset: Array | int,
+    normalize: bool,
+    wavefront: bool,
+) -> Array:
     spp = spp_override if spp_override is not None else scene.spp
     w, h = scene.camera.width, scene.camera.height
     xs, ys, (hp, wp) = _swizzled_grid(w, h)
@@ -222,7 +242,7 @@ def render_scene(
     if use_pallas and megakernel_eligible(scene, jitter_mode):
         interpret = jax.default_backend() != "tpu"
         bouncing = bool(scene.diffuse_bounce) or not scene.terminal_only
-        if bouncing and os.environ.get("RT_WAVEFRONT", "0") == "1":
+        if bouncing and wavefront:
             # sort-compacted bounce wavefronts (ops.wavefront): packs
             # the sparse post-bounce ray population into dense,
             # direction/origin-coherent tiles; bit-identical images
