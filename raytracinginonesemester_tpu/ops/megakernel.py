@@ -101,13 +101,21 @@ _INV_U32_MAX = np.float32(1.0) / np.float32(0xFFFFFFFF)
 
 def megakernel_eligible(scene, jitter_mode: str) -> bool:
     """Static-only eligibility for the fused path (see module docstring)."""
-    return (
-        scene.dialect == "gpu"
-        and scene.accel is not None
-        and jitter_mode == "wang"
-        and int(scene.materials.kd.shape[0]) <= MAX_OBJECTS
-        and fits_vmem(scene.accel)
-    )
+    if (
+        scene.accel is None
+        or int(scene.materials.kd.shape[0]) > MAX_OBJECTS
+        or not fits_vmem(scene.accel)
+    ):
+        return False
+    if scene.dialect == "gpu":
+        return jitter_mode == "wang"
+    if scene.dialect == "cpuonly":
+        # soft-shadow walks unroll statically: keep the kernel bounded
+        return (
+            jitter_mode in ("wang", "center")
+            and int(scene.lights.max_shadow_samples()) <= 16
+        )
+    return False
 
 
 # --- in-kernel RNG (bit-compatible with core.rng / query.h:32-48) ---
@@ -236,11 +244,49 @@ def camera_tile_plan(camera, xs: Array, ys: Array, grid, ray_tile: int):
 # B) that add XLA-side compaction between bounces.
 
 
+def _shading_normal(dialect, d_vec, nrm, u, v):
+    """Winner-triangle shading normal for one dense visit.
+
+    ``nrm`` is the block's 12 normal planes (vertex normals n0/n1/n2 +
+    geometric normal g); ``d_vec`` the ray direction in the same layout
+    as the planes.
+
+    - gpu: geometric sidedness + hemisphere alignment + zero-length
+      interpolation fallback (``query.h:113-126``).
+    - cpuonly: face normal decides sidedness; shading normal is the
+      normalized interpolation flipped to that side
+      (``CPUOnly/include/ray.h:76-92``; ``make_hit_frame`` mode
+      "cpuonly").
+    """
+    n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z, gx, gy, gz = nrm
+    dx, dy, dz = d_vec
+    w = 1.0 - u - v
+    snx = w * n0x + u * n1x + v * n2x
+    sny = w * n0y + u * n1y + v * n2y
+    snz = w * n0z + u * n1z + v * n2z
+    dg = dx * gx + dy * gy + dz * gz
+    gsign = jnp.where(dg < 0.0, 1.0, -1.0)
+    len_sq = snx * snx + sny * sny + snz * snz
+    if dialect == "cpuonly":
+        inv_len = jax.lax.rsqrt(jnp.maximum(len_sq, 1e-24))
+        s = inv_len * gsign
+        return snx * s, sny * s, snz * s
+    ogx, ogy, ogz = gx * gsign, gy * gsign, gz * gsign
+    inv_len = jax.lax.rsqrt(jnp.maximum(len_sq, 1e-38))
+    use_geom = len_sq < 1e-12
+    snx = jnp.where(use_geom, ogx, snx * inv_len)
+    sny = jnp.where(use_geom, ogy, sny * inv_len)
+    snz = jnp.where(use_geom, ogz, snz * inv_len)
+    flip = (snx * ogx + sny * ogy + snz * ogz) < 0.0
+    fsign = jnp.where(flip, -1.0, 1.0)
+    return snx * fsign, sny * fsign, snz * fsign
+
+
 def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
                    tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
                    order_ref, entry_ref,
                    t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
-                   chunk=0, col_scr=None):
+                   chunk=0, col_scr=None, dialect="gpu"):
     rt = t_col.shape[0]
     int_max = np.int32(2**31 - 1)
     tmin_l = jnp.full((1, rt), tmin, jnp.float32)
@@ -315,28 +361,12 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
                 take_l = _to_lane(jnp.where(take, 1.0, 0.0)) > 0.0
                 pick = at_min & (id_key == best_id)
 
-                # gpu-dialect shading normal (query.h:113-126)
                 nrm = tuple(
                     norm_ref[pl.ds(k_ * num_blocks + b, 1), :]
                     for k_ in range(12)
                 )
-                n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z, gx, gy, gz = nrm
-                w = 1.0 - u - v
-                snx = w * n0x + u * n1x + v * n2x
-                sny = w * n0y + u * n1y + v * n2y
-                snz = w * n0z + u * n1z + v * n2z
-                dg = dx_c * gx + dy_c * gy + dz_c * gz
-                gsign = jnp.where(dg < 0.0, 1.0, -1.0)
-                ogx, ogy, ogz = gx * gsign, gy * gsign, gz * gsign
-                len_sq = snx * snx + sny * sny + snz * snz
-                inv_len = jax.lax.rsqrt(jnp.maximum(len_sq, 1e-38))
-                use_geom = len_sq < 1e-12
-                snx = jnp.where(use_geom, ogx, snx * inv_len)
-                sny = jnp.where(use_geom, ogy, sny * inv_len)
-                snz = jnp.where(use_geom, ogz, snz * inv_len)
-                flip = (snx * ogx + sny * ogy + snz * ogz) < 0.0
-                fsign = jnp.where(flip, -1.0, 1.0)
-                snx, sny, snz = snx * fsign, sny * fsign, snz * fsign
+                snx, sny, snz = _shading_normal(
+                    dialect, (dx_c, dy_c, dz_c), nrm, u, v)
                 sel = lambda q: jnp.sum(
                     jnp.where(pick, q, 0.0), axis=1, keepdims=True
                 )
@@ -394,33 +424,19 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
                     @pl.when(jnp.any(take))
                     def _():
                         pick = at_min & (id_key == best_id)
-                        w = 1.0 - u - v
-                        snx = w * n0x + u * n1x + v * n2x
-                        sny = w * n0y + u * n1y + v * n2y
-                        snz = w * n0z + u * n1z + v * n2z
-                        dg = d_ch[0] * gx + d_ch[1] * gy + d_ch[2] * gz
-                        gsign = jnp.where(dg < 0.0, 1.0, -1.0)
-                        ogx, ogy, ogz = gx * gsign, gy * gsign, gz * gsign
-                        len_sq = snx * snx + sny * sny + snz * snz
-                        inv_len = jax.lax.rsqrt(jnp.maximum(len_sq, 1e-38))
-                        use_geom = len_sq < 1e-12
-                        snx = jnp.where(use_geom, ogx, snx * inv_len)
-                        sny = jnp.where(use_geom, ogy, sny * inv_len)
-                        snz = jnp.where(use_geom, ogz, snz * inv_len)
-                        flip = (snx * ogx + sny * ogy + snz * ogz) < 0.0
-                        fsign = jnp.where(flip, -1.0, 1.0)
+                        snx, sny, snz = _shading_normal(
+                            dialect, d_ch,
+                            (n0x, n0y, n0z, n1x, n1y, n1z,
+                             n2x, n2y, n2z, gx, gy, gz), u, v)
                         sel = lambda q: jnp.sum(
                             jnp.where(pick, q, 0.0), axis=1, keepdims=True
                         )
                         sl = pl.ds(lo, chunk)
                         t_col[sl, :] = jnp.where(take, min_t, old_t)
                         idx_col[sl, :] = jnp.where(take, best_id, old_idx)
-                        nx_c[sl, :] = jnp.where(
-                            take, sel(snx * fsign), nx_c[sl, :])
-                        ny_c[sl, :] = jnp.where(
-                            take, sel(sny * fsign), ny_c[sl, :])
-                        nz_c[sl, :] = jnp.where(
-                            take, sel(snz * fsign), nz_c[sl, :])
+                        nx_c[sl, :] = jnp.where(take, sel(snx), nx_c[sl, :])
+                        ny_c[sl, :] = jnp.where(take, sel(sny), ny_c[sl, :])
+                        nz_c[sl, :] = jnp.where(take, sel(snz), nz_c[sl, :])
                         sel_obj = jnp.sum(
                             jnp.where(pick, objs, 0), axis=1, keepdims=True
                         )
@@ -555,20 +571,33 @@ def _make_shade(det_eps, shadow_eps, shadow_tmin, num_blocks,
                 n_lights, n_objects,
                 tri_ref, ids_ref, aabb_ref, lights_ref, mats_ref,
                 t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
-                chunk=0, blk_col=None):
+                chunk=0, blk_col=None,
+                dialect="gpu", shadow_samples=1, rng_st=None,
+                spos_scr=None):
     rt = t_lane.shape[1]
     s_tmin_l = jnp.full((1, rt), shadow_tmin, jnp.float32)
     s_tmin_c = jnp.full((rt, 1), shadow_tmin, jnp.float32)
     if chunk:
         s_tmin_ch = jnp.full((chunk, 1), shadow_tmin, jnp.float32)
+    cpuonly = dialect == "cpuonly"
+    if cpuonly:
+        assert not chunk and rng_st is not None and spos_scr is not None
 
     def shade(o_l, d_l, chunked=False):
         """Direct lighting at the current hit state (scratches).
 
-        Returns (lo_rgb, hit_l, p_l): per-lane direct radiance
-        (ShadeDirect, shader.h:65-110, with fused IsInShadow walks),
-        the hit mask, and the eps-offset hit points (== the reference
-        bounce origin p + N*RT_EPS).
+        Returns (lo_rgb, hit_l, p_l): per-lane direct radiance, the hit
+        mask, and the eps-offset hit points (== the reference bounce
+        origin p + N*RT_EPS).
+
+        - gpu: hard shadows, one fused IsInShadow walk per light
+          (ShadeDirect, shader.h:65-110).
+        - cpuonly: soft shadows — up to ``shadow_samples`` disk-sampled
+          occlusion walks per area light, one for point lights
+          (ShadowVisibility, CPUOnly/raytracer.h:121-168), with the
+          in-kernel rejection disk sampler bit-compatible with
+          ``core.rng.random_in_unit_disk``.  RNG advances commit only
+          on hit lanes (the staged integrator's where(found) rule).
         """
         dx_l, dy_l, dz_l = d_l
         t_hit = t_lane[:]
@@ -597,32 +626,13 @@ def _make_shade(det_eps, shadow_eps, shadow_tmin, num_blocks,
             lo_g = lo_g + m * (al_g * 0.05 + em_g)
             lo_b = lo_b + m * (al_b * 0.05 + em_b)
 
-        for li in range(n_lights):
-            lx = lights_ref[li, 0]
-            ly = lights_ref[li, 1]
-            lz = lights_ref[li, 2]
-            rad_r, rad_g, rad_b = (lights_ref[li, 3], lights_ref[li, 4],
-                                   lights_ref[li, 5])
-            tox, toy, toz = lx - px_l, ly - py_l, lz - pz_l
-            dist = jnp.sqrt(jnp.maximum(tox * tox + toy * toy + toz * toz,
-                                        1e-38))
-            inv_dist = 1.0 / dist
-            ldx, ldy, ldz = tox * inv_dist, toy * inv_dist, toz * inv_dist
-            si = (1.0 / ldx, 1.0 / ldy, 1.0 / ldz)
-            so_l = (px_l, py_l, pz_l)
-            so_c = (_to_col(px_l), _to_col(py_l), _to_col(pz_l))
-            sd_c = (_to_col(ldx), _to_col(ldy), _to_col(ldz))
-            dist_c = _to_col(dist)
+        so_l = (px_l, py_l, pz_l)
+        so_c = (_to_col(px_l), _to_col(py_l), _to_col(pz_l))
 
-            # backfacing lanes (N.L<=0 or N.V<=0) contribute zero no
-            # matter what visibility says (the brdf lit gate + ndotl
-            # scale), so they never spawn shadow work
-            ndotl = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
-            facing = hit_l & (ndotl > 0.0) & (ndotv > 0.0)
-
-            blk_lane[:] = jnp.zeros((1, rt), jnp.float32)
-            if chunked:
-                blk_col[:] = jnp.zeros((rt, 1), jnp.float32)
+        def any_hit_walk(sd_l, si, dist, tmax_c, facing):
+            """Fused occlusion walk: sets blk_lane to 1.0 on lanes whose
+            shadow segment [shadow_tmin, tmax) hits anything."""
+            sd_c = (_to_col(sd_l[0]), _to_col(sd_l[1]), _to_col(sd_l[2]))
 
             def s_cond(k):
                 return (k < num_blocks) & jnp.any(
@@ -643,7 +653,7 @@ def _make_shade(det_eps, shadow_eps, shadow_tmin, num_blocks,
                     ids = ids_ref[pl.ds(k, 1), :]
                     if not chunked:
                         ts, _, _ = _mt_block(so_c, sd_c, tri, det_eps,
-                                             s_tmin_c, dist_c)
+                                             s_tmin_c, tmax_c)
                         ts = jnp.where(ids >= 0, ts, F32_MAX)
                         s_hit = (jnp.min(ts, axis=1, keepdims=True)
                                  < F32_MAX)
@@ -668,7 +678,7 @@ def _make_shade(det_eps, shadow_eps, shadow_tmin, num_blocks,
                                 x[lo:lo + chunk, :] for x in sd_c)
                             ts, _, _ = _mt_block(
                                 so_ch, sd_ch, tri, det_eps, s_tmin_ch,
-                                dist_c[lo:lo + chunk, :])
+                                tmax_c[lo:lo + chunk, :])
                             ts = jnp.where(ids >= 0, ts, F32_MAX)
                             s_hit = (jnp.min(ts, axis=1, keepdims=True)
                                      < F32_MAX)
@@ -683,9 +693,43 @@ def _make_shade(det_eps, shadow_eps, shadow_tmin, num_blocks,
 
             if not _DEBUG_SKIP_SHADOW:
                 jax.lax.while_loop(s_cond, s_body, jnp.int32(0))
-            vis = jnp.where(facing & (blk_lane[:] == 0.0), 1.0, 0.0)
 
-            # normalized Blinn-Phong half vector (brdf.h:26-35)
+        def disk_sample():
+            """Lockstep rejection sampler: uniform point in the unit
+            disk, advancing rng_st in place — stream-exact
+            ``core.rng.random_in_unit_disk`` (raytracer.h:77-85)."""
+            zeros = jnp.zeros((1, rt), jnp.float32)
+
+            def du_cond(c):
+                k, _x, _y, acc_f = c
+                return (k < 64) & ~jnp.all(acc_f > 0.0)
+
+            def du_body(c):
+                k, x, y, acc_f = c
+                acc = acc_f > 0.0
+                s0 = rng_st[:]
+                s1 = s0 * np.int32(1664525) + np.int32(1013904223)
+                xx = 2.0 * _wang_float(s1) - 1.0
+                s2 = s1 * np.int32(1664525) + np.int32(1013904223)
+                yy = 2.0 * _wang_float(s2) - 1.0
+                r2 = xx * xx + yy * yy
+                ok = (r2 > 1e-10) & (r2 <= 1.0)
+                take = ok & ~acc
+                x = jnp.where(take, xx, x)
+                y = jnp.where(take, yy, y)
+                rng_st[:] = jnp.where(acc, s0, s2)
+                return k + 1, x, y, jnp.where(acc | ok, 1.0, 0.0)
+
+            _, x, y, _ = jax.lax.while_loop(
+                du_cond, du_body, (jnp.int32(0), zeros, zeros, zeros))
+            return x, y
+
+        def brdf_add(lo_rgb, rad_rgb, ldir, ndotl, vis):
+            """Per-object normalized Blinn-Phong + Lambert contribution
+            (brdf.h:12-40), scaled by ndotl * vis * lit."""
+            lo_r, lo_g, lo_b = lo_rgb
+            rad_r, rad_g, rad_b = rad_rgb
+            ldx, ldy, ldz = ldir
             hx, hy, hz = ldx + vx, ldy + vy, ldz + vz
             hlen = jnp.sqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-38))
             ndoth = jnp.maximum((nx * hx + ny * hy + nz * hz) / hlen, 0.0)
@@ -706,6 +750,118 @@ def _make_shade(det_eps, shadow_eps, shadow_tmin, num_blocks,
                 lo_r = lo_r + m * rad_r * (al_r * fd + sp_r * lobe)
                 lo_g = lo_g + m * rad_g * (al_g * fd + sp_g * lobe)
                 lo_b = lo_b + m * rad_b * (al_b * fd + sp_b * lobe)
+            return lo_r, lo_g, lo_b
+
+        if cpuonly:
+            saved_rng = rng_st[:]
+        for li in range(n_lights):
+            lx = lights_ref[li, 0]
+            ly = lights_ref[li, 1]
+            lz = lights_ref[li, 2]
+            rad_rgb = (lights_ref[li, 3], lights_ref[li, 4],
+                       lights_ref[li, 5])
+            tox, toy, toz = lx - px_l, ly - py_l, lz - pz_l
+            dist = jnp.sqrt(jnp.maximum(tox * tox + toy * toy + toz * toz,
+                                        1e-38 if not cpuonly else 1e-24))
+            inv_dist = 1.0 / dist
+            ldx, ldy, ldz = tox * inv_dist, toy * inv_dist, toz * inv_dist
+
+            # backfacing lanes (N.L<=0 or N.V<=0) contribute zero no
+            # matter what visibility says (the brdf lit gate + ndotl
+            # scale), so they never spawn shadow work
+            ndotl = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
+            facing = hit_l & (ndotl > 0.0) & (ndotv > 0.0)
+
+            if not cpuonly:
+                blk_lane[:] = jnp.zeros((1, rt), jnp.float32)
+                if chunked:
+                    blk_col[:] = jnp.zeros((rt, 1), jnp.float32)
+                any_hit_walk((ldx, ldy, ldz),
+                             (1.0 / ldx, 1.0 / ldy, 1.0 / ldz),
+                             dist, _to_col(dist), facing)
+                vis = jnp.where(facing & (blk_lane[:] == 0.0), 1.0, 0.0)
+                lo_r, lo_g, lo_b = brdf_add(
+                    (lo_r, lo_g, lo_b), rad_rgb, (ldx, ldy, ldz),
+                    ndotl, vis)
+                continue
+
+            # --- cpuonly soft shadows (ShadowVisibility) ---
+            radius = lights_ref[li, 6]
+            is_area = radius > 0.0  # one scalar per light
+            spx, spy, spz, unocc = spos_scr
+
+            # disk basis around w = (p - light)/|p - light|
+            # (make_basis, raytracer.h:88-93)
+            wx, wy, wz = -ldx, -ldy, -ldz
+            use_y = jnp.abs(wx) > 0.9
+            a0 = jnp.where(use_y, 0.0, 1.0)
+            a1 = jnp.where(use_y, 1.0, 0.0)
+            tx = a1 * wz
+            ty = -a0 * wz
+            tz = a0 * wy - a1 * wx
+            t_inv = jax.lax.rsqrt(tx * tx + ty * ty + tz * tz)
+            tx, ty, tz = tx * t_inv, ty * t_inv, tz * t_inv
+            bx = wy * tz - wz * ty
+            by = wz * tx - wx * tz
+            bz = wx * ty - wy * tx
+
+            unocc[:] = jnp.zeros((1, rt), jnp.float32)
+
+            def soft_sample(jittered):
+                """One shadow sample: walk toward spos_scr, count the
+                unoccluded lanes (active rule: every sample for area
+                lights, only the first otherwise)."""
+                stx, sty, stz = tox, toy, toz
+                if jittered:
+                    stx = spx[:] - px_l
+                    sty = spy[:] - py_l
+                    stz = spz[:] - pz_l
+                d_s = jnp.sqrt(jnp.maximum(
+                    stx * stx + sty * sty + stz * stz, 1e-24))
+                inv_s = 1.0 / d_s
+                sldx, sldy, sldz = stx * inv_s, sty * inv_s, stz * inv_s
+                blk_lane[:] = jnp.zeros((1, rt), jnp.float32)
+                any_hit_walk((sldx, sldy, sldz),
+                             (1.0 / sldx, 1.0 / sldy, 1.0 / sldz),
+                             d_s, _to_col(d_s - shadow_eps), facing)
+                unocc[:] = unocc[:] + jnp.where(
+                    blk_lane[:] == 0.0, 1.0, 0.0)
+
+            def place_disk_sample():
+                dxs, dys = disk_sample()
+                spx[:] = lx + (tx * dxs + bx * dys) * radius
+                spy[:] = ly + (ty * dxs + by * dys) * radius
+                spz[:] = lz + (tz * dxs + bz * dys) * radius
+
+            for s in range(shadow_samples):
+                if s == 0:
+                    @pl.when(is_area)
+                    def _():
+                        place_disk_sample()
+                        soft_sample(True)
+
+                    @pl.when(~is_area)
+                    def _():
+                        soft_sample(False)
+                else:
+                    # extra samples exist only for area lights
+                    # (S==1 effectively for point lights,
+                    # raytracer.h:126-127); their RNG draws likewise
+                    @pl.when(is_area)
+                    def _(s=s):
+                        place_disk_sample()
+                        soft_sample(True)
+
+            denom = jnp.where(is_area, np.float32(shadow_samples),
+                              np.float32(1.0))
+            vis = unocc[:] / denom
+            lo_r, lo_g, lo_b = brdf_add(
+                (lo_r, lo_g, lo_b), rad_rgb, (ldx, ldy, ldz), ndotl, vis)
+
+        if cpuonly:
+            # the staged integrator commits shadow-sampling RNG only on
+            # hit lanes (state = where(found, state_direct, state))
+            rng_st[:] = jnp.where(hit_l, rng_st[:], saved_rng)
 
         return (lo_r, lo_g, lo_b), hit_l, (px_l, py_l, pz_l)
 
@@ -775,8 +931,10 @@ def _make_rng_hemisphere(rng_st, hm_x, hm_y, hm_z):
 def _make_bounce(traverse, shade, rng_next_lane, hemisphere,
                  diffuse_bounce, n_objects, miss_rgb, mats_ref,
                  tp_refs, rd_refs, rng_st, alive_st, bo_refs, bd_refs,
-                 nx_l, ny_l, nz_l, obj_l, chunk_shadow=False):
+                 nx_l, ny_l, nz_l, obj_l, chunk_shadow=False,
+                 dialect="gpu"):
     miss_r, miss_g, miss_b = miss_rgb
+    cpuonly = dialect == "cpuonly"
     tp_r, tp_g, tp_b = tp_refs
     rd_r, rd_g, rd_b = rd_refs
     bo_x, bo_y, bo_z = bo_refs
@@ -810,9 +968,18 @@ def _make_bounce(traverse, shade, rng_next_lane, hemisphere,
         found = hit_l & alive
         found_f = jnp.where(found, 1.0, 0.0)
         missed_f = jnp.where(alive & ~hit_l, 1.0, 0.0)
-        rd_r[:] = rd_r[:] + tp_r[:] * (missed_f * miss_r + found_f * lo_r)
-        rd_g[:] = rd_g[:] + tp_g[:] * (missed_f * miss_g + found_f * lo_g)
-        rd_b[:] = rd_b[:] + tp_b[:] * (missed_f * miss_b + found_f * lo_b)
+        if cpuonly:
+            # miss shader: sky gradient on the unit direction
+            # (CPUOnly/raytracer.h:226-229); d_l is always unit here
+            skyt = 0.5 * (d_l[2] + 1.0)
+            ms_r = (1.0 - skyt) + skyt * 0.5
+            ms_g = (1.0 - skyt) + skyt * 0.7
+            ms_b = (1.0 - skyt) + skyt * 1.0
+        else:
+            ms_r, ms_g, ms_b = miss_r, miss_g, miss_b
+        rd_r[:] = rd_r[:] + tp_r[:] * (missed_f * ms_r + found_f * lo_r)
+        rd_g[:] = rd_g[:] + tp_g[:] * (missed_f * ms_g + found_f * lo_g)
+        rd_b[:] = rd_b[:] + tp_b[:] * (missed_f * ms_b + found_f * lo_b)
 
         # per-lane material params by object (few objects, masked)
         obj_lane = obj_l[:]
@@ -839,6 +1006,10 @@ def _make_bounce(traverse, shade, rng_next_lane, hemisphere,
         else:
             take_diff = jnp.zeros((1, rt), bool)
         take_mirror = can_bounce & ~take_diff
+        if cpuonly:
+            # CPUOnly only mirrors when kr > 0 (raytracer.h:249); the
+            # GPU loop always takes the else-branch
+            take_mirror = take_mirror & (kr_l > 0.0)
 
         nx, ny, nz = nx_l[:], ny_l[:], nz_l[:]
         if diffuse_bounce:
@@ -849,7 +1020,9 @@ def _make_bounce(traverse, shade, rng_next_lane, hemisphere,
             # threading, ops/integrator.py bounce)
             rng_st[:] = jnp.where(take_diff, rng_st[:], rng_before)
             ndotl_h = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0)
-            dtp = 2.0 * ndotl_h
+            # diffuse throughput: albedo * 2 N.L (query.h:195-199), with
+            # the CPUOnly extra * (kd + kr) factor (raytracer.h:240-248)
+            dtp = (total * (2.0 * ndotl_h)) if cpuonly else (2.0 * ndotl_h)
         else:
             hx = hy = hz = zeros
             dtp = zeros
@@ -866,8 +1039,14 @@ def _make_bounce(traverse, shade, rng_next_lane, hemisphere,
         new_dx = td_f * hx + (1.0 - td_f) * rfx
         new_dy = td_f * hy + (1.0 - td_f) * rfy
         new_dz = td_f * hz + (1.0 - td_f) * rfz
+        # mirror: GPU scales by kr (query.h:202-205); CPUOnly by
+        # (diffuse_bounce ? kd+kr : kr) (raytracer.h:249-255)
+        if cpuonly and diffuse_bounce:
+            mirror_scale = total
+        else:
+            mirror_scale = kr_l
         tsc = [
-            td_f * (al[c] * dtp) + (1.0 - td_f) * (sp[c] * kr_l)
+            td_f * (al[c] * dtp) + (1.0 - td_f) * (sp[c] * mirror_scale)
             for c in range(3)
         ]
 
@@ -891,13 +1070,17 @@ def _make_bounce(traverse, shade, rng_next_lane, hemisphere,
 # --- the fused kernel ---
 
 
-def _make_primary(xy_ref, cam_ref, off_ref):
-    """Camera scalars + the wang-hash jittered primary-ray builder.
+def _make_primary(xy_ref, cam_ref, off_ref, jitter="wang"):
+    """Camera scalars + the jittered primary-ray builder.
 
     Bit-compatible with ``core.rng.pixel_jitter`` / ``Camera.get_rays``
     (``query.cu:36-43``, ``camera.h:49-53``); shared by the monolithic
     render kernel and the wavefront emit kernel so the streams can
-    never diverge.  Returns (primary_ray, camera_xyz, miss_rgb).
+    never diverge.  ``jitter`` is "wang" (per-(pixel, sample) hash, the
+    gpu dialect) or "center" (+0.5 pixel centers, the CPUOnly spp==1
+    convention, ``CPUOnly/src/render.cpp:127-128``); the rng seed state
+    is ``make_rng_seed(x, y, s)`` in both modes.
+    Returns (primary_ray, camera_xyz, miss_rgb).
     """
     cx, cy, cz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
     p0x, p0y, p0z = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
@@ -913,12 +1096,16 @@ def _make_primary(xy_ref, cam_ref, off_ref):
     seed_pix = x_i * np.int32(73856093) ^ y_i * np.int32(19349663)
 
     def primary_ray(s):
-        """Wang-hash jitter + camera ray (query.cu:36-43, camera.h:49-53);
+        """Sub-pixel jitter + camera ray (query.cu:36-43, camera.h:49-53);
         returns lane-major unit directions and the rng seed state."""
         h = seed_pix ^ ((s + off) * np.int32(83492791))
-        jx = _wang_float(h) - 0.5
-        h2 = h * np.int32(1664525) + np.int32(1013904223)
-        jy = _wang_float(h2) - 0.5
+        if jitter == "center":
+            jx = jnp.full(x_f.shape, 0.5, jnp.float32)
+            jy = jx
+        else:
+            jx = _wang_float(h) - 0.5
+            h2 = h * np.int32(1664525) + np.int32(1013904223)
+            jy = _wang_float(h2) - 0.5
         px = x_f + jx
         py = y_f + jy
         rx = (p0x + px * dux + py * dvx) - cx
@@ -932,12 +1119,15 @@ def _make_primary(xy_ref, cam_ref, off_ref):
 
 def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
                    max_depth, diffuse_bounce, terminal, chunk,
+                   dialect, jitter, shadow_samples,
                    num_blocks, num_supers, n_lights, n_objects,
                    xy_ref, cam_ref, lights_ref, mats_ref, off_ref,
                    tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
                    order_ref, entry_ref,
                    r_out, g_out, b_out, *rest):
     col_scr = None
+    spos_scr = None
+    cpuonly = dialect == "cpuonly"
     if terminal:
         (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
          acc_r, acc_g, acc_b, blk_lane) = rest
@@ -950,6 +1140,14 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
          hm_x, hm_y, hm_z,
          nx_c, ny_c, nz_c, obj_c) = rest
         col_scr = (nx_c, ny_c, nz_c, obj_c)
+    elif cpuonly:
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+         acc_r, acc_g, acc_b, blk_lane,
+         tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
+         bo_x, bo_y, bo_z, bd_x, bd_y, bd_z,
+         hm_x, hm_y, hm_z,
+         sp_x, sp_y, sp_z, unocc) = rest
+        spos_scr = (sp_x, sp_y, sp_z, unocc)
     else:
         (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
          acc_r, acc_g, acc_b, blk_lane,
@@ -960,7 +1158,7 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
     row = jax.lax.rem(pl.program_id(0), 8)
 
     primary_ray, (cx, cy, cz), (miss_r, miss_g, miss_b) = _make_primary(
-        xy_ref, cam_ref, off_ref)
+        xy_ref, cam_ref, off_ref, jitter=jitter)
 
     # empty plan -> every primary ray in the tile provably misses (and
     # with nothing hit, no bounces either): write the accumulated miss
@@ -969,19 +1167,39 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
 
     @pl.when(~has_work)
     def _():
-        smr = jnp.clip(miss_r, 0.0, 1.0) * np.float32(spp)
-        smg = jnp.clip(miss_g, 0.0, 1.0) * np.float32(spp)
-        smb = jnp.clip(miss_b, 0.0, 1.0) * np.float32(spp)
-        r_out[pl.ds(row, 1), :] = jnp.full((1, rt), smr, jnp.float32)
-        g_out[pl.ds(row, 1), :] = jnp.full((1, rt), smg, jnp.float32)
-        b_out[pl.ds(row, 1), :] = jnp.full((1, rt), smb, jnp.float32)
+        if not cpuonly:
+            smr = jnp.clip(miss_r, 0.0, 1.0) * np.float32(spp)
+            smg = jnp.clip(miss_g, 0.0, 1.0) * np.float32(spp)
+            smb = jnp.clip(miss_b, 0.0, 1.0) * np.float32(spp)
+            r_out[pl.ds(row, 1), :] = jnp.full((1, rt), smr, jnp.float32)
+            g_out[pl.ds(row, 1), :] = jnp.full((1, rt), smg, jnp.float32)
+            b_out[pl.ds(row, 1), :] = jnp.full((1, rt), smb, jnp.float32)
+            return
+        # cpuonly miss = sky gradient of the (per-sample jittered)
+        # primary direction; no per-sample clamp in this dialect
+        acc_r[:] = jnp.zeros((1, rt), jnp.float32)
+        acc_g[:] = jnp.zeros((1, rt), jnp.float32)
+        acc_b[:] = jnp.zeros((1, rt), jnp.float32)
+
+        def sky_body(s, _):
+            d_l, _h = primary_ray(s)
+            skyt = 0.5 * (d_l[2] + 1.0)
+            acc_r[:] = acc_r[:] + ((1.0 - skyt) + skyt * 0.5)
+            acc_g[:] = acc_g[:] + ((1.0 - skyt) + skyt * 0.7)
+            acc_b[:] = acc_b[:] + ((1.0 - skyt) + skyt * 1.0)
+            return 0
+
+        jax.lax.fori_loop(0, spp, sky_body, 0)
+        r_out[pl.ds(row, 1), :] = acc_r[:]
+        g_out[pl.ds(row, 1), :] = acc_g[:]
+        b_out[pl.ds(row, 1), :] = acc_b[:]
 
     traverse = _make_traverse(
         det_eps, tmin, num_blocks, num_supers, row,
         tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
         order_ref, entry_ref,
         t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
-        chunk=chunk, col_scr=col_scr,
+        chunk=chunk, col_scr=col_scr, dialect=dialect,
     )
     shade = _make_shade(
         det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
@@ -992,6 +1210,9 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
         # the end of a traverse (cols -> lanes handoff) and the next
         # traverse's re-initialization, which is exactly when shade runs
         blk_col=col_scr[0] if chunk else None,
+        dialect=dialect, shadow_samples=shadow_samples,
+        rng_st=None if terminal else rng_st,
+        spos_scr=spos_scr,
     )
 
     if terminal:
@@ -1024,6 +1245,7 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
             (tp_r, tp_g, tp_b), (rd_r, rd_g, rd_b), rng_st, alive_st,
             (bo_x, bo_y, bo_z), (bd_x, bd_y, bd_z),
             nx_l, ny_l, nz_l, obj_l, chunk_shadow=bool(chunk),
+            dialect=dialect,
         )
 
         def sample_body(s, _):
@@ -1053,10 +1275,17 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
 
             jax.lax.while_loop(d_cond, d_body, jnp.int32(1))
 
-            # per-sample clamp (query.h:219)
-            acc_r[:] = acc_r[:] + jnp.clip(rd_r[:], 0.0, 1.0)
-            acc_g[:] = acc_g[:] + jnp.clip(rd_g[:], 0.0, 1.0)
-            acc_b[:] = acc_b[:] + jnp.clip(rd_b[:], 0.0, 1.0)
+            if cpuonly:
+                # no per-sample clamp in this dialect (clamped at PNG
+                # quantization; CPUOnly/src/render.cpp:157-160)
+                acc_r[:] = acc_r[:] + rd_r[:]
+                acc_g[:] = acc_g[:] + rd_g[:]
+                acc_b[:] = acc_b[:] + rd_b[:]
+            else:
+                # per-sample clamp (query.h:219)
+                acc_r[:] = acc_r[:] + jnp.clip(rd_r[:], 0.0, 1.0)
+                acc_g[:] = acc_g[:] + jnp.clip(rd_g[:], 0.0, 1.0)
+                acc_b[:] = acc_b[:] + jnp.clip(rd_b[:], 0.0, 1.0)
             return 0
 
     @pl.when(has_work)
@@ -1086,8 +1315,9 @@ def _scene_rows(scene, grid):
     lights_rows = jnp.concatenate([
         lights.position,
         lights.color * lights.intensity[:, None],
-        jnp.zeros((n_lights, 2), jnp.float32),
-    ], axis=1)  # (NL, 8)
+        jnp.asarray(lights.radius, jnp.float32).reshape(n_lights, 1),
+        jnp.zeros((n_lights, 1), jnp.float32),
+    ], axis=1)  # (NL, 8): pos, color*intensity, radius, pad
 
     mats = scene.materials
     n_objects = int(mats.kd.shape[0])
@@ -1128,7 +1358,8 @@ def _pad_tiles(xs, ys):
 
 
 @partial(jax.jit, static_argnames=("spp", "interpret", "det_eps", "tmin",
-                                   "shadow_eps", "shadow_tmin", "chunk"))
+                                   "shadow_eps", "shadow_tmin", "chunk",
+                                   "dialect", "jitter", "shadow_samples"))
 def render_tiles(
     scene,
     xs: Array,
@@ -1142,9 +1373,18 @@ def render_tiles(
     shadow_eps: float = 1e-3,
     shadow_tmin: float = 1e-4,
     chunk: int = _CHUNK_ROWS,
+    dialect: str = "gpu",
+    jitter: str = "wang",
+    shadow_samples: int = 1,
 ) -> Array:
     """Fused render of swizzled pixel tiles -> (N, 3) radiance SUM over
-    spp samples (callers divide; matches ``accumulate_samples``)."""
+    spp samples (callers divide; matches ``accumulate_samples``).
+
+    ``dialect`` selects the reference semantics: "gpu"
+    (``TraceRayIterative`` + ``IsInShadow``) or "cpuonly" (``TraceRay``
+    + disk-sampled ``ShadowVisibility`` with ``shadow_samples`` walks
+    per area light, sky-gradient misses, no per-sample clamp).  Callers
+    pass the dialect's eps family (``ops.integrator.trace_rays``)."""
     grid = scene.accel
     cam = scene.camera
     l, b = grid.tri_index.shape
@@ -1180,7 +1420,12 @@ def render_tiles(
         (8, RAY_TILE), lambda i: (i // 8, 0), memory_space=pltpu.VMEM
     )
     lane = lambda: pltpu.VMEM((1, RAY_TILE), jnp.float32)
-    terminal = bool(scene.terminal_only) and not scene.diffuse_bounce
+    cpuonly = dialect == "cpuonly"
+    # the V1 terminal specialization encodes gpu shading; cpuonly
+    # terminal scenes go through V2 (its depth loop exits after depth 0
+    # when nothing can bounce)
+    terminal = (bool(scene.terminal_only) and not scene.diffuse_bounce
+                and not cpuonly)
     max_depth = int(scene.max_bounces)
     scratch = [
         pltpu.VMEM((RAY_TILE, 1), jnp.float32),  # t_col
@@ -1199,14 +1444,19 @@ def render_tiles(
         scratch += [lane() for _ in range(9)]  # bo, bd, hm
         if chunk:
             assert RAY_TILE % chunk == 0 and chunk % 8 == 0
+            assert not cpuonly
             # column winner attributes for the chunked bounce visits
             scratch += [pltpu.VMEM((RAY_TILE, 1), jnp.float32)] * 3
             scratch += [pltpu.VMEM((RAY_TILE, 1), jnp.int32)]
+        elif cpuonly:
+            # sampled shadow origin xyz + the unoccluded-count lane
+            scratch += [lane() for _ in range(4)]
 
     outs = pl.pallas_call(
         partial(_render_kernel, spp, det_eps, tmin, shadow_eps, shadow_tmin,
                 max_depth, bool(scene.diffuse_bounce), terminal,
                 int(chunk) if not terminal else 0,
+                dialect, jitter, int(shadow_samples),
                 l, ls, n_lights, n_objects),
         out_shape=[jax.ShapeDtypeStruct((nt, RAY_TILE), jnp.float32)] * 3,
         grid_spec=pl.GridSpec(

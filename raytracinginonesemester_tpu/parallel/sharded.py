@@ -83,12 +83,14 @@ def shard_scene_blocks(scene: Scene, num_shards: int) -> Scene:
     return dataclasses.replace(scene, accel=grid)
 
 
-@partial(jax.jit, static_argnames=("mesh", "spp", "wavefront"))
+@partial(jax.jit, static_argnames=("mesh", "spp", "wavefront", "jitter_mode"))
 def _render_sharded_fast(scene: Scene, mesh: Mesh, spp: int,
-                         wavefront: bool) -> Array:
+                         wavefront: bool, jitter_mode: str) -> Array:
     """DP-shard the swizzled tile stream and run the single-chip fast
     path (megakernel, or sort-compacted wavefront when enabled) on each
     shard.  Bit-identical to any other sharding by per-pixel seeding."""
+    from ..ops import shading
+    from ..ops.intersect import FLT_EPSILON
     from ..ops.megakernel import render_tiles
     from ..render.renderer import _swizzled_grid, _unswizzle
 
@@ -102,11 +104,25 @@ def _render_sharded_fast(scene: Scene, mesh: Mesh, spp: int,
         ys = jnp.concatenate([ys, jnp.zeros(padded - n_swz, ys.dtype)])
 
     interpret = jax.default_backend() != "tpu"
+    gpu = scene.dialect == "gpu"
+    mk_kw = dict(interpret=interpret)
+    if not gpu:
+        # same dialect kwargs as render_scene's single-chip dispatch
+        mk_kw.update(
+            dialect="cpuonly", jitter=jitter_mode,
+            shadow_samples=int(scene.lights.max_shadow_samples()),
+            det_eps=FLT_EPSILON, shadow_eps=shading.RT_EPS_CPUONLY,
+            shadow_tmin=shading.RT_EPS_CPUONLY,
+        )
     bouncing = bool(scene.diffuse_bounce) or not scene.terminal_only
-    if bouncing and wavefront:
-        from ..ops.wavefront import render_tiles_wavefront as fast_fn
+    if gpu and bouncing and wavefront:
+        from ..ops.wavefront import render_tiles_wavefront
+
+        def fast_fn(s, x, y):
+            return render_tiles_wavefront(s, x, y, spp, interpret=interpret)
     else:
-        fast_fn = render_tiles
+        def fast_fn(s, x, y):
+            return render_tiles(s, x, y, spp, **mk_kw)
 
     @partial(
         shard_map,
@@ -116,7 +132,7 @@ def _render_sharded_fast(scene: Scene, mesh: Mesh, spp: int,
         check_vma=False,
     )
     def shard_fn(scene_local: Scene, xs_l: Array, ys_l: Array) -> Array:
-        return fast_fn(scene_local, xs_l, ys_l, spp, interpret=interpret)
+        return fast_fn(scene_local, xs_l, ys_l)
 
     accum = shard_fn(scene, xs, ys)
     return _unswizzle(accum[:n_swz], w, h, hp, wp) / float(spp)
@@ -160,7 +176,7 @@ def render_scene_sharded(
         # RT_WAVEFRONT is read here, outside jit, so toggling it is
         # never masked by the trace cache
         wavefront = os.environ.get("RT_WAVEFRONT", "0") == "1"
-        return _render_sharded_fast(scene, mesh, spp, wavefront)
+        return _render_sharded_fast(scene, mesh, spp, wavefront, jitter_mode)
 
     return _render_sharded_staged(
         scene, mesh, jitter_mode, ray_tile, spp, model_axis)

@@ -232,8 +232,8 @@ def _render_scene_jit(
     xs, ys, (hp, wp) = _swizzled_grid(w, h)
     jitter_mode = resolve_jitter_mode(scene, jitter_mode, spp)
 
-    # fused megakernel fast path (ops.megakernel): terminal gpu-dialect
-    # scenes render the whole spp loop inside one Pallas call
+    # fused megakernel fast path (ops.megakernel): eligible scenes of
+    # either dialect render the whole spp loop inside one Pallas call
     from ..ops.megakernel import megakernel_eligible, render_tiles
 
     use_pallas = scene.use_pallas
@@ -241,8 +241,19 @@ def _render_scene_jit(
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas and megakernel_eligible(scene, jitter_mode):
         interpret = jax.default_backend() != "tpu"
+        gpu = scene.dialect == "gpu"
+        mk_kw = dict(interpret=interpret)
+        if not gpu:
+            # the cpuonly eps family + soft-shadow statics
+            # (ops.integrator.trace_rays dialect table)
+            mk_kw.update(
+                dialect="cpuonly", jitter=jitter_mode,
+                shadow_samples=int(scene.lights.max_shadow_samples()),
+                det_eps=FLT_EPSILON, shadow_eps=shading.RT_EPS_CPUONLY,
+                shadow_tmin=shading.RT_EPS_CPUONLY,
+            )
         bouncing = bool(scene.diffuse_bounce) or not scene.terminal_only
-        if bouncing and wavefront:
+        if gpu and bouncing and wavefront:
             # sort-compacted bounce wavefronts (ops.wavefront): packs
             # the sparse post-bounce ray population into dense,
             # direction/origin-coherent tiles; bit-identical images
@@ -255,7 +266,7 @@ def _render_scene_jit(
         else:
             accum = render_tiles(
                 scene, xs, ys, spp, sample_offset=sample_offset,
-                interpret=interpret,
+                **mk_kw,
             )
     else:
         accum = accumulate_samples(
