@@ -99,6 +99,24 @@ _U32 = jnp.uint32
 _INV_U32_MAX = np.float32(1.0) / np.float32(0xFFFFFFFF)
 
 
+def megakernel_kwargs(scene, jitter_mode: str) -> dict:
+    """The dialect-specific static kwargs for ``render_tiles`` — ONE
+    definition shared by every dispatch site (render_scene and the
+    sharded fast path), so single-chip and sharded renders can never
+    drift apart on eps families or sampling statics."""
+    if scene.dialect != "cpuonly":
+        return {}
+    from .intersect import FLT_EPSILON
+    from .shading import RT_EPS_CPUONLY
+
+    return dict(
+        dialect="cpuonly", jitter=jitter_mode,
+        shadow_samples=int(scene.lights.max_shadow_samples()),
+        det_eps=FLT_EPSILON, shadow_eps=RT_EPS_CPUONLY,
+        shadow_tmin=RT_EPS_CPUONLY,
+    )
+
+
 def megakernel_eligible(scene, jitter_mode: str) -> bool:
     """Static-only eligibility for the fused path (see module docstring)."""
     if (
@@ -1161,38 +1179,41 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
         xy_ref, cam_ref, off_ref, jitter=jitter)
 
     # empty plan -> every primary ray in the tile provably misses (and
-    # with nothing hit, no bounces either): write the accumulated miss
-    # color and skip everything.  Sky tiles are the majority of a frame.
-    has_work = entry_ref[row, 0] < jnp.inf
+    # with nothing hit, no bounces either): skip traversal/shade and
+    # accumulate the per-sample clamped miss color with EXACTLY the
+    # main loop's arithmetic (one vector add of clip(miss) per sample),
+    # so a pixel's bits never depend on which tile composition it lands
+    # in (the sharding/tiling invariance contract).  Sky tiles are the
+    # majority of a frame.
+    #
+    # cpuonly has no such shortcut: its miss radiance is the
+    # jitter-dependent sky gradient, and replicating the bounce loop's
+    # exact float contraction in a second expression is not robust
+    # (measured 1-ulp drift) — all tiles take the full path instead.
+    if cpuonly:
+        has_work = jnp.bool_(True)
+    else:
+        has_work = entry_ref[row, 0] < jnp.inf
 
-    @pl.when(~has_work)
-    def _():
-        if not cpuonly:
-            smr = jnp.clip(miss_r, 0.0, 1.0) * np.float32(spp)
-            smg = jnp.clip(miss_g, 0.0, 1.0) * np.float32(spp)
-            smb = jnp.clip(miss_b, 0.0, 1.0) * np.float32(spp)
-            r_out[pl.ds(row, 1), :] = jnp.full((1, rt), smr, jnp.float32)
-            g_out[pl.ds(row, 1), :] = jnp.full((1, rt), smg, jnp.float32)
-            b_out[pl.ds(row, 1), :] = jnp.full((1, rt), smb, jnp.float32)
-            return
-        # cpuonly miss = sky gradient of the (per-sample jittered)
-        # primary direction; no per-sample clamp in this dialect
-        acc_r[:] = jnp.zeros((1, rt), jnp.float32)
-        acc_g[:] = jnp.zeros((1, rt), jnp.float32)
-        acc_b[:] = jnp.zeros((1, rt), jnp.float32)
+        @pl.when(~has_work)
+        def _():
+            cm_r = jnp.full((1, rt), jnp.clip(miss_r, 0.0, 1.0), jnp.float32)
+            cm_g = jnp.full((1, rt), jnp.clip(miss_g, 0.0, 1.0), jnp.float32)
+            cm_b = jnp.full((1, rt), jnp.clip(miss_b, 0.0, 1.0), jnp.float32)
+            acc_r[:] = jnp.zeros((1, rt), jnp.float32)
+            acc_g[:] = jnp.zeros((1, rt), jnp.float32)
+            acc_b[:] = jnp.zeros((1, rt), jnp.float32)
 
-        def sky_body(s, _):
-            d_l, _h = primary_ray(s)
-            skyt = 0.5 * (d_l[2] + 1.0)
-            acc_r[:] = acc_r[:] + ((1.0 - skyt) + skyt * 0.5)
-            acc_g[:] = acc_g[:] + ((1.0 - skyt) + skyt * 0.7)
-            acc_b[:] = acc_b[:] + ((1.0 - skyt) + skyt * 1.0)
-            return 0
+            def sky_body(s, _):
+                acc_r[:] = acc_r[:] + cm_r
+                acc_g[:] = acc_g[:] + cm_g
+                acc_b[:] = acc_b[:] + cm_b
+                return 0
 
-        jax.lax.fori_loop(0, spp, sky_body, 0)
-        r_out[pl.ds(row, 1), :] = acc_r[:]
-        g_out[pl.ds(row, 1), :] = acc_g[:]
-        b_out[pl.ds(row, 1), :] = acc_b[:]
+            jax.lax.fori_loop(0, spp, sky_body, 0)
+            r_out[pl.ds(row, 1), :] = acc_r[:]
+            g_out[pl.ds(row, 1), :] = acc_g[:]
+            b_out[pl.ds(row, 1), :] = acc_b[:]
 
     traverse = _make_traverse(
         det_eps, tmin, num_blocks, num_supers, row,
@@ -1421,6 +1442,9 @@ def render_tiles(
     )
     lane = lambda: pltpu.VMEM((1, RAY_TILE), jnp.float32)
     cpuonly = dialect == "cpuonly"
+    # MK_CHUNK is a gpu-dialect perf-bisection knob; ignore it here
+    # rather than crash every cpuonly render while someone bisects gpu
+    chunk = 0 if cpuonly else chunk
     # the V1 terminal specialization encodes gpu shading; cpuonly
     # terminal scenes go through V2 (its depth loop exits after depth 0
     # when nothing can bounce)

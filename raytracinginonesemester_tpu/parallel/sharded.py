@@ -89,9 +89,7 @@ def _render_sharded_fast(scene: Scene, mesh: Mesh, spp: int,
     """DP-shard the swizzled tile stream and run the single-chip fast
     path (megakernel, or sort-compacted wavefront when enabled) on each
     shard.  Bit-identical to any other sharding by per-pixel seeding."""
-    from ..ops import shading
-    from ..ops.intersect import FLT_EPSILON
-    from ..ops.megakernel import render_tiles
+    from ..ops.megakernel import megakernel_kwargs, render_tiles
     from ..render.renderer import _swizzled_grid, _unswizzle
 
     w, h = scene.camera.width, scene.camera.height
@@ -105,15 +103,9 @@ def _render_sharded_fast(scene: Scene, mesh: Mesh, spp: int,
 
     interpret = jax.default_backend() != "tpu"
     gpu = scene.dialect == "gpu"
-    mk_kw = dict(interpret=interpret)
-    if not gpu:
-        # same dialect kwargs as render_scene's single-chip dispatch
-        mk_kw.update(
-            dialect="cpuonly", jitter=jitter_mode,
-            shadow_samples=int(scene.lights.max_shadow_samples()),
-            det_eps=FLT_EPSILON, shadow_eps=shading.RT_EPS_CPUONLY,
-            shadow_tmin=shading.RT_EPS_CPUONLY,
-        )
+    # one shared definition of the dialect kwargs — single-chip and
+    # sharded dispatch can never drift apart
+    mk_kw = dict(interpret=interpret, **megakernel_kwargs(scene, jitter_mode))
     bouncing = bool(scene.diffuse_bounce) or not scene.terminal_only
     if gpu and bouncing and wavefront:
         from ..ops.wavefront import render_tiles_wavefront

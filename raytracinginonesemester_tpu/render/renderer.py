@@ -234,7 +234,11 @@ def _render_scene_jit(
 
     # fused megakernel fast path (ops.megakernel): eligible scenes of
     # either dialect render the whole spp loop inside one Pallas call
-    from ..ops.megakernel import megakernel_eligible, render_tiles
+    from ..ops.megakernel import (
+        megakernel_eligible,
+        megakernel_kwargs,
+        render_tiles,
+    )
 
     use_pallas = scene.use_pallas
     if use_pallas is None:
@@ -242,16 +246,7 @@ def _render_scene_jit(
     if use_pallas and megakernel_eligible(scene, jitter_mode):
         interpret = jax.default_backend() != "tpu"
         gpu = scene.dialect == "gpu"
-        mk_kw = dict(interpret=interpret)
-        if not gpu:
-            # the cpuonly eps family + soft-shadow statics
-            # (ops.integrator.trace_rays dialect table)
-            mk_kw.update(
-                dialect="cpuonly", jitter=jitter_mode,
-                shadow_samples=int(scene.lights.max_shadow_samples()),
-                det_eps=FLT_EPSILON, shadow_eps=shading.RT_EPS_CPUONLY,
-                shadow_tmin=shading.RT_EPS_CPUONLY,
-            )
+        mk_kw = dict(interpret=interpret, **megakernel_kwargs(scene, jitter_mode))
         bouncing = bool(scene.diffuse_bounce) or not scene.terminal_only
         if gpu and bouncing and wavefront:
             # sort-compacted bounce wavefronts (ops.wavefront): packs

@@ -118,3 +118,23 @@ def test_dp8_fast_path_wavefront_bit_identical(monkeypatch):
     img_s = np.asarray(render_scene_sharded(scene, mesh))
     img_r = np.asarray(render_scene(scene))
     np.testing.assert_array_equal(img_s, img_r)
+
+
+def test_dp8_fast_path_cpuonly_bit_identical():
+    """DP sharding of a CPUOnly-dialect scene through the fused fast
+    path: same bits as the unsharded fused render.  Regression for the
+    all-sky tile shortcut whose float contraction drifted by 1 ulp
+    depending on tile composition (review finding, session 4): sky
+    pixels must not care which tiles/shards they land in."""
+    import dataclasses
+    import os
+
+    scene_path = os.path.join(
+        os.path.dirname(SCENE), "cpuonly_point.json")
+    scene = load_scene(scene_path)
+    assert scene.dialect == "cpuonly"
+    scene = dataclasses.replace(scene, use_pallas=True)
+    mesh = make_mesh((8,), ("data",))
+    img_s = np.asarray(render_scene_sharded(scene, mesh))
+    img_r = np.asarray(render_scene(scene))
+    np.testing.assert_array_equal(img_s, img_r)
