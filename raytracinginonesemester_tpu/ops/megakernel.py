@@ -1515,19 +1515,29 @@ _ST_ROWS = 16  # rows: bo xyz, bd xyz, tp rgb, rd rgb, alive, pad x3
 
 
 def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
+                 dialect, jitter, shadow_samples,
                  num_blocks, num_supers, n_lights, n_objects,
                  xy_ref, cam_ref, lights_ref, mats_ref, off_ref,
                  tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
                  order_ref, entry_ref,
                  st_out, rng_out, *scratch):
-    (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
-     tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
-     bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z) = scratch
+    cpuonly = dialect == "cpuonly"
+    spos_scr = None
+    if cpuonly:
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+         tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
+         bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z,
+         sp_x, sp_y, sp_z, unocc) = scratch
+        spos_scr = (sp_x, sp_y, sp_z, unocc)
+    else:
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+         tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
+         bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z) = scratch
     rt = t_col.shape[0]
     row = jax.lax.rem(pl.program_id(0), 8)
 
     primary_ray, (cx, cy, cz), (miss_r, miss_g, miss_b) = _make_primary(
-        xy_ref, cam_ref, off_ref)
+        xy_ref, cam_ref, off_ref, jitter=jitter)
 
     zeros = jnp.zeros((1, rt), jnp.float32)
     for r_ in range(13, _ST_ROWS):
@@ -1538,36 +1548,45 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
 
     # empty plan: every primary ray provably misses -> dead state whose
     # radiance is the raw miss color (the per-sample clip happens at
-    # accumulation, matching the monolithic kernel's order of ops)
-    has_work = entry_ref[row, 0] < jnp.inf
+    # accumulation, matching the monolithic kernel's order of ops).
+    # cpuonly has no such shortcut (jitter-dependent sky; same
+    # contraction-robustness rule as _render_kernel).
+    if cpuonly:
+        has_work = jnp.bool_(True)
+    else:
+        has_work = entry_ref[row, 0] < jnp.inf
 
-    @pl.when(~has_work)
-    def _():
-        # dead state, but with a valid unit direction: a zero direction
-        # would be the one ray state the monolithic kernel can never
-        # produce (dead lanes there keep their last real direction),
-        # and 1/0 direction components poison downstream math
-        for r_ in range(5):
-            st_out[pl.ds(r_, 1), :] = zeros
-        st_out[pl.ds(5, 1), :] = jnp.ones((1, rt), jnp.float32)
-        for r_ in range(6, 9):
-            st_out[pl.ds(r_, 1), :] = zeros
-        st_out[pl.ds(9, 1), :] = jnp.full((1, rt), miss_r, jnp.float32)
-        st_out[pl.ds(10, 1), :] = jnp.full((1, rt), miss_g, jnp.float32)
-        st_out[pl.ds(11, 1), :] = jnp.full((1, rt), miss_b, jnp.float32)
-        st_out[pl.ds(12, 1), :] = zeros
-        rng_out[pl.ds(0, 1), :] = zeros_i
+        @pl.when(~has_work)
+        def _():
+            # dead state, but with a valid unit direction: a zero
+            # direction would be the one ray state the monolithic
+            # kernel can never produce (dead lanes there keep their
+            # last real direction), and 1/0 components poison
+            # downstream math
+            for r_ in range(5):
+                st_out[pl.ds(r_, 1), :] = zeros
+            st_out[pl.ds(5, 1), :] = jnp.ones((1, rt), jnp.float32)
+            for r_ in range(6, 9):
+                st_out[pl.ds(r_, 1), :] = zeros
+            st_out[pl.ds(9, 1), :] = jnp.full((1, rt), miss_r, jnp.float32)
+            st_out[pl.ds(10, 1), :] = jnp.full((1, rt), miss_g, jnp.float32)
+            st_out[pl.ds(11, 1), :] = jnp.full((1, rt), miss_b, jnp.float32)
+            st_out[pl.ds(12, 1), :] = zeros
+            rng_out[pl.ds(0, 1), :] = zeros_i
 
     traverse = _make_traverse(
         det_eps, tmin, num_blocks, num_supers, row,
         tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
         order_ref, entry_ref,
         t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+        dialect=dialect,
     )
     shade = _make_shade(
         det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
         tri_ref, ids_ref, aabb_ref, lights_ref, mats_ref,
         t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+        dialect=dialect, shadow_samples=shadow_samples, rng_st=rng_st,
+        spos_scr=spos_scr,
     )
     rng_next_lane, hemisphere = _make_rng_hemisphere(
         rng_st, hm_x, hm_y, hm_z)
@@ -1576,7 +1595,7 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
         diffuse_bounce, n_objects, (miss_r, miss_g, miss_b), mats_ref,
         (tp_r, tp_g, tp_b), (rd_r, rd_g, rd_b), rng_st, alive_st,
         (bo_x, bo_y, bo_z), (bd_x, bd_y, bd_z),
-        nx_l, ny_l, nz_l, obj_l,
+        nx_l, ny_l, nz_l, obj_l, dialect=dialect,
     )
 
     @pl.when(has_work)
@@ -1607,15 +1626,25 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
 
 
 def _resume_kernel(det_eps, tmin, shadow_eps, shadow_tmin, max_depth,
-                   diffuse_bounce, num_blocks, num_supers,
+                   diffuse_bounce, dialect, shadow_samples,
+                   num_blocks, num_supers,
                    n_lights, n_objects,
                    cam_ref, lights_ref, mats_ref,
                    tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
                    order_ref, entry_ref, st_ref, rng_ref,
                    r_out, g_out, b_out, *scratch):
-    (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
-     tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
-     bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z) = scratch
+    cpuonly = dialect == "cpuonly"
+    spos_scr = None
+    if cpuonly:
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+         tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
+         bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z,
+         sp_x, sp_y, sp_z, unocc) = scratch
+        spos_scr = (sp_x, sp_y, sp_z, unocc)
+    else:
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+         tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
+         bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z) = scratch
     rt = t_col.shape[0]
     row = jax.lax.rem(pl.program_id(0), 8)
     miss_r, miss_g, miss_b = cam_ref[0, 12], cam_ref[0, 13], cam_ref[0, 14]
@@ -1631,11 +1660,14 @@ def _resume_kernel(det_eps, tmin, shadow_eps, shadow_tmin, max_depth,
         tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
         order_ref, entry_ref,
         t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+        dialect=dialect,
     )
     shade = _make_shade(
         det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
         tri_ref, ids_ref, aabb_ref, lights_ref, mats_ref,
         t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+        dialect=dialect, shadow_samples=shadow_samples, rng_st=rng_st,
+        spos_scr=spos_scr,
     )
     rng_next_lane, hemisphere = _make_rng_hemisphere(
         rng_st, hm_x, hm_y, hm_z)
@@ -1644,7 +1676,7 @@ def _resume_kernel(det_eps, tmin, shadow_eps, shadow_tmin, max_depth,
         diffuse_bounce, n_objects, (miss_r, miss_g, miss_b), mats_ref,
         (tp_r, tp_g, tp_b), (rd_r, rd_g, rd_b), rng_st, alive_st,
         (bo_x, bo_y, bo_z), (bd_x, bd_y, bd_z),
-        nx_l, ny_l, nz_l, obj_l,
+        nx_l, ny_l, nz_l, obj_l, dialect=dialect,
     )
 
     # the sort puts dead rays last, so dead tiles are a suffix of the
@@ -1665,7 +1697,7 @@ def _resume_kernel(det_eps, tmin, shadow_eps, shadow_tmin, max_depth,
     b_out[pl.ds(row, 1), :] = rd_b[:]
 
 
-def _bounce_scratch():
+def _bounce_scratch(cpuonly: bool = False):
     lane = lambda: pltpu.VMEM((1, RAY_TILE), jnp.float32)
     return (
         [pltpu.VMEM((RAY_TILE, 1), jnp.float32),   # t_col
@@ -1676,11 +1708,14 @@ def _bounce_scratch():
         + [lane() for _ in range(6)]               # tp rgb, rd rgb
         + [pltpu.VMEM((1, RAY_TILE), jnp.int32), lane()]  # rng, alive
         + [lane() for _ in range(9)]               # bo, bd, hm
+        # cpuonly soft shadows: sampled light pos xyz + unoccluded count
+        + ([lane() for _ in range(4)] if cpuonly else [])
     )
 
 
 @partial(jax.jit, static_argnames=("interpret", "det_eps", "tmin",
-                                   "shadow_eps", "shadow_tmin"))
+                                   "shadow_eps", "shadow_tmin",
+                                   "dialect", "jitter", "shadow_samples"))
 def emit_tiles(
     scene,
     xs: Array,
@@ -1692,6 +1727,9 @@ def emit_tiles(
     tmin: float = 1e-4,
     shadow_eps: float = 1e-3,
     shadow_tmin: float = 1e-4,
+    dialect: str = "gpu",
+    jitter: str = "wang",
+    shadow_samples: int = 1,
 ):
     """Depth-0 pass of the wavefront path: camera rays + direct light +
     the RR bounce decision.  Returns (state, rng_state):
@@ -1730,7 +1768,9 @@ def emit_tiles(
 
     st, rng = pl.pallas_call(
         partial(_emit_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
-                bool(scene.diffuse_bounce), l, ls, n_lights, n_objects),
+                bool(scene.diffuse_bounce),
+                dialect, jitter, int(shadow_samples),
+                l, ls, n_lights, n_objects),
         out_shape=[
             jax.ShapeDtypeStruct((nt * _ST_ROWS, RAY_TILE), jnp.float32),
             jax.ShapeDtypeStruct((nt * 8, RAY_TILE), jnp.int32),
@@ -1744,7 +1784,7 @@ def emit_tiles(
                 pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=_bounce_scratch(),
+            scratch_shapes=_bounce_scratch(dialect == "cpuonly"),
         ),
         interpret=interpret,
     )(xy, *scalar_ops, off_row, *geom_ops, order, entry)
@@ -1752,7 +1792,8 @@ def emit_tiles(
 
 
 @partial(jax.jit, static_argnames=("interpret", "det_eps", "tmin",
-                                   "shadow_eps", "shadow_tmin"))
+                                   "shadow_eps", "shadow_tmin",
+                                   "dialect", "shadow_samples"))
 def resume_tiles(
     scene,
     state: Array,
@@ -1763,6 +1804,8 @@ def resume_tiles(
     tmin: float = 1e-4,
     shadow_eps: float = 1e-3,
     shadow_tmin: float = 1e-4,
+    dialect: str = "gpu",
+    shadow_samples: int = 1,
 ):
     """Bounce depths 1..max_bounces-1 on (usually sorted/compacted)
     per-ray state from ``emit_tiles``.  Returns the per-ray path
@@ -1797,13 +1840,14 @@ def resume_tiles(
     outs = pl.pallas_call(
         partial(_resume_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
                 int(scene.max_bounces), bool(scene.diffuse_bounce),
+                dialect, int(shadow_samples),
                 l, 128, n_lights, n_objects),
         out_shape=[jax.ShapeDtypeStruct((nt, RAY_TILE), jnp.float32)] * 3,
         grid_spec=pl.GridSpec(
             grid=(nt,),
             in_specs=in_specs,
             out_specs=[out_row(), out_row(), out_row()],
-            scratch_shapes=_bounce_scratch(),
+            scratch_shapes=_bounce_scratch(dialect == "cpuonly"),
         ),
         interpret=interpret,
     )(*scalar_ops, *geom_ops, order, entry, state, rng_state)

@@ -113,7 +113,8 @@ def sort_bounce_state(state: Array, rng_state: Array, pix: Array,
 
 
 @partial(jax.jit, static_argnames=("spp", "interpret", "det_eps", "tmin",
-                                   "shadow_eps", "shadow_tmin"))
+                                   "shadow_eps", "shadow_tmin",
+                                   "dialect", "jitter", "shadow_samples"))
 def render_tiles_wavefront(
     scene,
     xs: Array,
@@ -126,10 +127,13 @@ def render_tiles_wavefront(
     tmin: float = 1e-4,
     shadow_eps: float = 1e-3,
     shadow_tmin: float = 1e-4,
+    dialect: str = "gpu",
+    jitter: str = "wang",
+    shadow_samples: int = 1,
 ) -> Array:
     """Wavefront render of swizzled pixel tiles -> (N, 3) radiance SUM
     over spp samples; drop-in for ``megakernel.render_tiles`` on
-    non-terminal scenes (bit-identical output)."""
+    non-terminal scenes of either dialect (bit-identical output)."""
     grid = scene.accel
     xs_p, ys_p, n, np_rays = _pad_tiles(xs, ys)
     nt = np_rays // RAY_TILE
@@ -142,10 +146,11 @@ def render_tiles_wavefront(
     pix = jnp.arange(np_rays, dtype=jnp.int32)
 
     kw = dict(interpret=interpret, det_eps=det_eps, tmin=tmin,
-              shadow_eps=shadow_eps, shadow_tmin=shadow_tmin)
+              shadow_eps=shadow_eps, shadow_tmin=shadow_tmin,
+              dialect=dialect, shadow_samples=shadow_samples)
 
     def one_sample(s):
-        st, rng = emit_tiles(scene, xs_p, ys_p, s, **kw)
+        st, rng = emit_tiles(scene, xs_p, ys_p, s, jitter=jitter, **kw)
         st_s, rng_s, pix_s = sort_bounce_state(st, rng, pix, lo, span)
         r, g, b = resume_tiles(scene, st_s, rng_s, **kw)
         # radiance back to pixel order: one more (cheap) 3-payload sort
@@ -154,6 +159,9 @@ def render_tiles_wavefront(
              b.reshape(np_rays)),
             dimension=0, num_keys=1,
         )
+        if dialect == "cpuonly":
+            # no per-sample clamp in this dialect (clamped at PNG)
+            return r2, g2, b2
         # per-sample clamp (query.h:219), same point in the op order as
         # the monolithic kernel's accumulation
         return (jnp.clip(r2, 0.0, 1.0), jnp.clip(g2, 0.0, 1.0),

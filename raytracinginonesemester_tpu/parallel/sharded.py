@@ -102,16 +102,15 @@ def _render_sharded_fast(scene: Scene, mesh: Mesh, spp: int,
         ys = jnp.concatenate([ys, jnp.zeros(padded - n_swz, ys.dtype)])
 
     interpret = jax.default_backend() != "tpu"
-    gpu = scene.dialect == "gpu"
     # one shared definition of the dialect kwargs — single-chip and
     # sharded dispatch can never drift apart
     mk_kw = dict(interpret=interpret, **megakernel_kwargs(scene, jitter_mode))
     bouncing = bool(scene.diffuse_bounce) or not scene.terminal_only
-    if gpu and bouncing and wavefront:
+    if bouncing and wavefront:
         from ..ops.wavefront import render_tiles_wavefront
 
         def fast_fn(s, x, y):
-            return render_tiles_wavefront(s, x, y, spp, interpret=interpret)
+            return render_tiles_wavefront(s, x, y, spp, **mk_kw)
     else:
         def fast_fn(s, x, y):
             return render_tiles(s, x, y, spp, **mk_kw)

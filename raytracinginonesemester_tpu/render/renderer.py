@@ -245,10 +245,9 @@ def _render_scene_jit(
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas and megakernel_eligible(scene, jitter_mode):
         interpret = jax.default_backend() != "tpu"
-        gpu = scene.dialect == "gpu"
         mk_kw = dict(interpret=interpret, **megakernel_kwargs(scene, jitter_mode))
         bouncing = bool(scene.diffuse_bounce) or not scene.terminal_only
-        if gpu and bouncing and wavefront:
+        if bouncing and wavefront:
             # sort-compacted bounce wavefronts (ops.wavefront): packs
             # the sparse post-bounce ray population into dense,
             # direction/origin-coherent tiles; bit-identical images
@@ -256,7 +255,7 @@ def _render_scene_jit(
 
             accum = render_tiles_wavefront(
                 scene, xs, ys, spp, sample_offset=sample_offset,
-                interpret=interpret,
+                **mk_kw,
             )
         else:
             accum = render_tiles(

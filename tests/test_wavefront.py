@@ -73,3 +73,42 @@ def test_emit_state_rows_always_written():
     d = stv[:, 3:6]
     norms = np.sqrt((d * d).sum(axis=1))
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "diffuse,radius,samples,spp",
+    [(True, 0.0, 1, 1), (False, 0.15, 4, 1), (True, 0.15, 2, 2)],
+)
+def test_wavefront_cpuonly_matches_monolithic(diffuse, radius, samples, spp):
+    """CPUOnly dialect through the wavefront scheduler: emit/sort/resume
+    reproduce the monolithic cpuonly megakernel's RNG streams and
+    branches lane for lane — but NOT always the exact bits: the sky
+    lerp ((1-t) + t*c) is an FMA-contraction site, and the compiler
+    contracts it differently in the two programs (~1 ulp on the few %
+    of rays whose paths saw sky after a bounce; the gpu dialect's
+    constant miss color has no such site, hence its exact test above).
+    Within EITHER backend, images stay bit-identical across shardings
+    (same program -> same contraction), so the framework invariant is
+    per-backend and intact.  Assert: almost all rays exactly equal,
+    every ray within a few ulps."""
+    from test_megakernel_cpuonly import _cpuonly_scene
+
+    from raytracinginonesemester_tpu.ops.megakernel import (
+        megakernel_kwargs,
+        render_tiles,
+    )
+
+    scene = _cpuonly_scene(width=64, height=32, spp=spp, max_bounces=3,
+                           diffuse_bounce=diffuse, radius=radius,
+                           shadow_samples=samples,
+                           kr_ball=0.0 if diffuse else 0.6)
+    scene = dataclasses.replace(scene, terminal_only=False)
+    kw = megakernel_kwargs(scene, "wang")
+    kw["interpret"] = True
+    xs, ys, _ = _swizzled_grid(64, 32)
+    a = np.asarray(render_tiles(scene, xs, ys, spp, **kw))
+    b = np.asarray(render_tiles_wavefront(scene, xs, ys, spp, **kw))
+    assert np.isfinite(b).all()
+    exact = np.all(a == b, axis=1)
+    assert exact.mean() > 0.98, f"only {exact.mean():.4%} rays exact"
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
