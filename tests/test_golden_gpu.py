@@ -67,3 +67,26 @@ def test_gpu_frog_golden_pallas():
     ours = quantize(np.asarray(img), "gpu")
     golden = read_png(str(GOLDENS / "gpu_frog.png"))
     assert_images_close(ours, golden, context="gpu_frog pallas")
+
+
+def test_gpu_cornell_golden():
+    """Enclosed Cornell-box scene (Embree cornellbox.obj: 9 o/g groups
+    in ONE obj sharing the node material, exactly main.cu:184-186) with
+    a mirror ball + diffuse ball: most camera rays hit, RR bounce
+    chains run deep, and interreflection exercises the bounce-phase
+    traversal very differently from the open frog scenes."""
+    ours = _run("gpu_cornell")
+    golden = read_png(str(GOLDENS / "gpu_cornell.png"))
+    assert_images_close(ours, golden, context="gpu_cornell")
+
+
+def test_gpu_cornell_golden_pallas():
+    """Same enclosed scene through the fused Pallas kernels."""
+    import dataclasses
+
+    scene = load_scene(str(SCENES / "gpu_cornell.json"))
+    scene = dataclasses.replace(scene, use_pallas=True)
+    img = render_scene(scene, jitter_mode="reference_cpu")
+    ours = quantize(np.asarray(img), "gpu")
+    golden = read_png(str(GOLDENS / "gpu_cornell.png"))
+    assert_images_close(ours, golden, context="gpu_cornell pallas")
