@@ -21,10 +21,10 @@ import time
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--width", type=int, default=1920)
-    ap.add_argument("--height", type=int, default=1080)
-    ap.add_argument("--spp", type=int, default=1)
-    ap.add_argument("--bounces", type=int, default=8)
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--spp", type=int, default=None)
+    ap.add_argument("--bounces", type=int, default=None)
     ap.add_argument("--no-diffuse", action="store_true",
                     help="terminal-only variant (no diffuse bounces); the "
                     "faithful frog.json workload has diffuse_bounce=true")
@@ -44,10 +44,21 @@ def main():
                     help="use the XLA block path instead of Pallas kernels")
     ap.add_argument("--save", type=str, default=None,
                     help="write the benchmark render to this PNG path")
+    ap.add_argument("--scene", type=str, default=None,
+                    help="benchmark an arbitrary reference-format scene "
+                    "JSON (either dialect) instead of the built-in frog "
+                    "workload; --width/--height/--spp/--bounces still "
+                    "override when given")
     args = ap.parse_args()
 
     if args.quick:
         args.width, args.height, args.iters = 320, 180, 2
+    if args.scene is None:
+        # the faithful frog.json headline workload defaults
+        args.width = args.width or 1920
+        args.height = args.height or 1080
+        args.spp = args.spp or 1
+        args.bounces = args.bounces or 8
 
     import jax
     import numpy as np
@@ -66,10 +77,41 @@ def main():
     print(f"device: {dev}", file=sys.stderr)
 
     t0 = time.time()
-    scene = _frog_scene(
-        width=args.width, height=args.height, spp=args.spp,
-        max_bounces=args.bounces, diffuse_bounce=not args.no_diffuse,
-    )
+    if args.scene is not None:
+        from raytracinginonesemester_tpu.scene.build import load_scene
+        from raytracinginonesemester_tpu.scene.config import load_scene_config
+
+        scene = load_scene(args.scene)
+        overrides = {}
+        if args.bounces:
+            overrides["max_bounces"] = args.bounces
+        if args.spp:
+            overrides["spp"] = args.spp
+        if args.width or args.height:
+            from raytracinginonesemester_tpu.core.camera import Camera
+
+            config = load_scene_config(args.scene)
+            overrides["camera"] = Camera.create(
+                position=config.camera_position,
+                look_at=config.camera_look_at,
+                up=config.camera_up,
+                focal_length_mm=config.focal_length_mm,
+                sensor_height_mm=config.sensor_height_mm,
+                sensor_width_mm=config.sensor_width_mm,
+                width=args.width or config.pixel_width,
+                height=args.height or config.pixel_height,
+            )
+        if overrides:
+            scene = dataclasses.replace(scene, **overrides)
+        args.width = scene.camera.width
+        args.height = scene.camera.height
+        args.spp = scene.spp
+        args.bounces = scene.max_bounces
+    else:
+        scene = _frog_scene(
+            width=args.width, height=args.height, spp=args.spp,
+            max_bounces=args.bounces, diffuse_bounce=not args.no_diffuse,
+        )
     scene = dataclasses.replace(scene, use_pallas=not args.no_pallas)
     jax.block_until_ready(scene.accel.tri)
     build_s = time.time() - t0
@@ -146,7 +188,8 @@ def main():
     if args.save:
         from raytracinginonesemester_tpu.io.image import write_png
 
-        write_png(args.save, np.asarray(img), mode="gpu")
+        write_png(args.save, np.asarray(img),
+                  mode="gpu" if scene.dialect == "gpu" else "cpuonly")
         print(f"saved {args.save}", file=sys.stderr)
 
     print(json.dumps({
