@@ -1512,6 +1512,8 @@ def render_tiles(
 # where dead tiles form a suffix that exits at one scalar test.
 
 _ST_ROWS = 16  # rows: bo xyz, bd xyz, tp rgb, rd rgb, alive, pad x3
+_ST_LIVE_ROWS = 13  # rows 0..12 carry state; 13..15 are layout padding
+_ST_ALIVE_ROW = 12  # the aliveness flag row (1.0 alive / 0.0 dead)
 
 
 def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
@@ -1730,18 +1732,27 @@ def emit_tiles(
     dialect: str = "gpu",
     jitter: str = "wang",
     shadow_samples: int = 1,
+    plan=None,
 ):
     """Depth-0 pass of the wavefront path: camera rays + direct light +
     the RR bounce decision.  Returns (state, rng_state):
     state (nt*16, RAY_TILE) f32 rows per tile [bo xyz, bd xyz, tp rgb,
     rd rgb, alive, pad x3]; rng_state (nt*8, RAY_TILE) i32, row 0 live.
+
+    ``plan``: optional precomputed ``(order, entry)`` from
+    ``camera_tile_plan`` + ``_pad_plan_rows`` — the plan is
+    sample-independent, so spp loops pass it in once instead of
+    duplicating its build per sample in the traced graph.
     """
     grid = scene.accel
     xs, ys, n, np_rays = _pad_tiles(xs, ys)
     nt = np_rays // RAY_TILE
 
-    order, entry = camera_tile_plan(scene.camera, xs, ys, grid, RAY_TILE)
-    order, entry = _pad_plan_rows(order, entry)
+    if plan is None:
+        order, entry = camera_tile_plan(scene.camera, xs, ys, grid, RAY_TILE)
+        order, entry = _pad_plan_rows(order, entry)
+    else:
+        order, entry = plan
     ls = order.shape[1]
 
     xy = jnp.concatenate(

@@ -40,26 +40,29 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-from .megakernel import _ST_ROWS, RAY_TILE, _pad_tiles, emit_tiles, resume_tiles
+from .lbvh import _bit_expand
+from .megakernel import (
+    _ST_ALIVE_ROW,
+    _ST_LIVE_ROWS,
+    _ST_ROWS,
+    RAY_TILE,
+    _pad_plan_rows,
+    _pad_tiles,
+    camera_tile_plan,
+    emit_tiles,
+    resume_tiles,
+)
 
 __all__ = ["render_tiles_wavefront", "sort_bounce_state"]
 
 _I32_MAX = np.int32(2**31 - 1)
 
 
-def _expand3(x: Array) -> Array:
-    """Spread 8 bits of x so there are 2 zero bits between each
-    (``bitExpansion``, bvh.h:131-140, restricted to 8 input bits)."""
-    x = (x | (x << 16)) & np.int32(0x030000FF)
-    x = (x | (x << 8)) & np.int32(0x0300F00F)
-    x = (x | (x << 4)) & np.int32(0x030C30C3)
-    x = (x | (x << 2)) & np.int32(0x09249249)
-    return x
-
-
 def _sort_key(bo, bd, alive, lo, span):
     """(direction octant << 24) | 24-bit origin morton; dead rays get
-    INT32_MAX so they pack to the tail of the sorted stream."""
+    INT32_MAX so they pack to the tail of the sorted stream.  Bit
+    interleave via ``lbvh._bit_expand`` (``bitExpansion``, bvh.h:131-140;
+    the quantized inputs here use 8 of its 10 bits)."""
     oct_ = (
         (jnp.where(bd[0] < 0.0, 4, 0))
         | (jnp.where(bd[1] < 0.0, 2, 0))
@@ -67,11 +70,15 @@ def _sort_key(bo, bd, alive, lo, span):
     ).astype(jnp.int32)
     q = [
         jnp.clip((bo[c] - lo[c]) / span[c] * 256.0, 0.0, 255.0).astype(
-            jnp.int32
+            jnp.uint32
         )
         for c in range(3)
     ]
-    morton = _expand3(q[0]) | (_expand3(q[1]) << 1) | (_expand3(q[2]) << 2)
+    morton = (
+        _bit_expand(q[0])
+        | (_bit_expand(q[1]) << 1)
+        | (_bit_expand(q[2]) << 2)
+    ).astype(jnp.int32)
     key = (oct_ << 24) | morton
     return jnp.where(alive, key, _I32_MAX)
 
@@ -82,6 +89,12 @@ def sort_bounce_state(state: Array, rng_state: Array, pix: Array,
 
     ``state`` is the (nt*16, RAY_TILE) row layout of ``emit_tiles``;
     returns (sorted state, sorted rng, sorted pixel ids).
+
+    The sort is deliberately UNSTABLE: per-ray math never depends on a
+    ray's tile placement (the framework's ordering-invariance contract)
+    and the unsort keys (pixel ids) are unique, so stability would only
+    add a hidden iota tiebreak operand to the hot ~2M-row multi-operand
+    sort for nothing.
     """
     nt = state.shape[0] // _ST_ROWS
     nr = nt * RAY_TILE
@@ -90,18 +103,19 @@ def sort_bounce_state(state: Array, rng_state: Array, pix: Array,
     def plane(k):
         return stv[:, k, :].reshape(nr)
 
-    planes = [plane(k) for k in range(13)]
+    planes = [plane(k) for k in range(_ST_LIVE_ROWS)]
     rng_flat = rng_state.reshape(nt, 8, RAY_TILE)[:, 0, :].reshape(nr)
-    key = _sort_key(planes[0:3], planes[3:6], planes[12] > 0.0, lo, span)
+    key = _sort_key(planes[0:3], planes[3:6],
+                    planes[_ST_ALIVE_ROW] > 0.0, lo, span)
 
     out = jax.lax.sort(
-        tuple([key, pix, rng_flat] + planes), dimension=0,
-        is_stable=True, num_keys=1,
+        tuple([key, pix, rng_flat] + planes), dimension=0, num_keys=1,
     )
     pix_s, rng_s = out[1], out[2]
     planes_s = list(out[3:])
 
-    rows = planes_s + [jnp.zeros(nr, jnp.float32)] * (_ST_ROWS - 13)
+    rows = planes_s + (
+        [jnp.zeros(nr, jnp.float32)] * (_ST_ROWS - _ST_LIVE_ROWS))
     st_s = jnp.stack(
         [r.reshape(nt, RAY_TILE) for r in rows], axis=1
     ).reshape(nt * _ST_ROWS, RAY_TILE)
@@ -145,12 +159,20 @@ def render_tiles_wavefront(
             for c in range(3)]
     pix = jnp.arange(np_rays, dtype=jnp.int32)
 
+    # the camera plan is sample-independent: build it ONCE and hand it
+    # to every emit (otherwise each sample re-traces the O(nt x LS)
+    # hull/slab/argsort build — duplicated spp times in the unrolled
+    # graph, or left to while-loop LICM in the scan branch)
+    plan = _pad_plan_rows(
+        *camera_tile_plan(scene.camera, xs_p, ys_p, grid, RAY_TILE))
+
     kw = dict(interpret=interpret, det_eps=det_eps, tmin=tmin,
               shadow_eps=shadow_eps, shadow_tmin=shadow_tmin,
               dialect=dialect, shadow_samples=shadow_samples)
 
     def one_sample(s):
-        st, rng = emit_tiles(scene, xs_p, ys_p, s, jitter=jitter, **kw)
+        st, rng = emit_tiles(scene, xs_p, ys_p, s, jitter=jitter,
+                             plan=plan, **kw)
         st_s, rng_s, pix_s = sort_bounce_state(st, rng, pix, lo, span)
         r, g, b = resume_tiles(scene, st_s, rng_s, **kw)
         # radiance back to pixel order: one more (cheap) 3-payload sort

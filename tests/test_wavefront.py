@@ -112,3 +112,18 @@ def test_wavefront_cpuonly_matches_monolithic(diffuse, radius, samples, spp):
     exact = np.all(a == b, axis=1)
     assert exact.mean() > 0.98, f"only {exact.mean():.4%} rays exact"
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_wavefront_spp_scan_branch_bit_identical():
+    """spp>4 routes through the lax.scan pipeline (one traced
+    emit/sort/resume per sample instead of spp copies); the fold must
+    accumulate in the same order as the monolithic kernel's in-kernel
+    sample loop.  No other test exercises the scan branch."""
+    scene = _two_frog_scene(width=48, height=16, diffuse_bounce=True,
+                            max_bounces=2)
+    scene = dataclasses.replace(scene, terminal_only=False)
+    xs, ys, _ = _swizzled_grid(48, 16)
+    a = np.asarray(render_tiles(scene, xs, ys, 5, interpret=True))
+    b = np.asarray(
+        render_tiles_wavefront(scene, xs, ys, 5, interpret=True))
+    np.testing.assert_array_equal(a, b)
