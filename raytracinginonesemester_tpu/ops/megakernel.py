@@ -1863,3 +1863,147 @@ def resume_tiles(
         interpret=interpret,
     )(*scalar_ops, *geom_ops, order, entry, state, rng_state)
     return outs
+
+
+def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
+                        diffuse_bounce, dialect, shadow_samples,
+                        num_blocks, num_supers, n_lights, n_objects,
+                        cam_ref, lights_ref, mats_ref,
+                        tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref,
+                        alane_ref, order_ref, entry_ref, st_ref, rng_ref,
+                        st_out, rng_out, *scratch):
+    """ONE planned bounce on packed per-ray state (state in, state out).
+
+    The staged wavefront scheduler re-sorts the alive prefix between
+    bounces, so every call sees freshly packed, spatially coherent
+    tiles with a per-tile traversal plan that is exactly valid for this
+    bounce's origins/directions (``wavefront.bounce_tile_plan``).
+    Radiance rides in the state's rd rows — dead tiles pass through."""
+    cpuonly = dialect == "cpuonly"
+    spos_scr = None
+    if cpuonly:
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+         tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
+         bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z,
+         sp_x, sp_y, sp_z, unocc) = scratch
+        spos_scr = (sp_x, sp_y, sp_z, unocc)
+    else:
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+         tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
+         bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z) = scratch
+    rt = t_col.shape[0]
+    row = jax.lax.rem(pl.program_id(0), 8)
+    miss_r, miss_g, miss_b = cam_ref[0, 12], cam_ref[0, 13], cam_ref[0, 14]
+
+    for r_, ref in enumerate((bo_x, bo_y, bo_z, bd_x, bd_y, bd_z,
+                              tp_r, tp_g, tp_b, rd_r, rd_g, rd_b,
+                              alive_st)):
+        ref[:] = st_ref[pl.ds(r_, 1), :]
+    rng_st[:] = rng_ref[pl.ds(0, 1), :]
+
+    traverse = _make_traverse(
+        det_eps, tmin, num_blocks, num_supers, row,
+        tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
+        order_ref, entry_ref,
+        t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+        dialect=dialect,
+    )
+    shade = _make_shade(
+        det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
+        tri_ref, ids_ref, aabb_ref, lights_ref, mats_ref,
+        t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+        dialect=dialect, shadow_samples=shadow_samples, rng_st=rng_st,
+        spos_scr=spos_scr,
+    )
+    rng_next_lane, hemisphere = _make_rng_hemisphere(
+        rng_st, hm_x, hm_y, hm_z)
+    bounce = _make_bounce(
+        traverse, shade, rng_next_lane, hemisphere,
+        diffuse_bounce, n_objects, (miss_r, miss_g, miss_b), mats_ref,
+        (tp_r, tp_g, tp_b), (rd_r, rd_g, rd_b), rng_st, alive_st,
+        (bo_x, bo_y, bo_z), (bd_x, bd_y, bd_z),
+        nx_l, ny_l, nz_l, obj_l, dialect=dialect,
+    )
+
+    # dead tiles (the sorted suffix) skip straight to the passthrough
+    @pl.when(jnp.any(alive_st[:] > 0.0))
+    def _():
+        bounce(True)
+
+    for r_, ref in enumerate((bo_x, bo_y, bo_z, bd_x, bd_y, bd_z,
+                              tp_r, tp_g, tp_b, rd_r, rd_g, rd_b,
+                              alive_st)):
+        st_out[pl.ds(r_, 1), :] = ref[:]
+    zeros = jnp.zeros((1, rt), jnp.float32)
+    for r_ in range(_ST_LIVE_ROWS, _ST_ROWS):
+        st_out[pl.ds(r_, 1), :] = zeros
+    rng_out[pl.ds(0, 1), :] = rng_st[:]
+    zeros_i = jnp.zeros((1, rt), jnp.int32)
+    for r_ in range(1, 8):
+        rng_out[pl.ds(r_, 1), :] = zeros_i
+
+
+def bounce_step_tiles(
+    scene,
+    state: Array,
+    rng_state: Array,
+    order: Array,
+    entry: Array,
+    *,
+    interpret: bool = False,
+    det_eps: float = 1e-8,
+    tmin: float = 1e-4,
+    shadow_eps: float = 1e-3,
+    shadow_tmin: float = 1e-4,
+    dialect: str = "gpu",
+    shadow_samples: int = 1,
+):
+    """One planned bounce over packed state tiles -> (state', rng').
+
+    ``(order, entry)`` is the per-tile front-to-back superblock plan
+    from ``wavefront.bounce_tile_plan`` (padded via ``_pad_plan_rows``).
+    Not jitted on its own: the staged wavefront scheduler traces it
+    inside its bounce loop."""
+    grid = scene.accel
+    nt = state.shape[0] // _ST_ROWS
+    ls = order.shape[1]
+
+    (scalar_ops, scalar_specs, geom_ops, geom_specs,
+     n_lights, n_objects) = _scene_rows(scene, grid)
+    l = grid.num_blocks
+
+    in_specs = (
+        scalar_specs
+        + geom_specs
+        + [pl.BlockSpec((8, ls), lambda i: (i // 8, 0),
+                        memory_space=pltpu.SMEM),
+           pl.BlockSpec((8, ls), lambda i: (i // 8, 0),
+                        memory_space=pltpu.SMEM),
+           pl.BlockSpec((_ST_ROWS, RAY_TILE), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)]
+    )
+
+    st, rng = pl.pallas_call(
+        partial(_bounce_step_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
+                bool(scene.diffuse_bounce), dialect, int(shadow_samples),
+                l, ls, n_lights, n_objects),
+        out_shape=[
+            jax.ShapeDtypeStruct((nt * _ST_ROWS, RAY_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((nt * 8, RAY_TILE), jnp.int32),
+        ],
+        grid_spec=pl.GridSpec(
+            grid=(nt,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((_ST_ROWS, RAY_TILE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=_bounce_scratch(dialect == "cpuonly"),
+        ),
+        interpret=interpret,
+    )(*scalar_ops, *geom_ops, order, entry, state, rng_state)
+    return st, rng

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
+from .accel import super_aabbs
 from .lbvh import _bit_expand
 from .megakernel import (
     _ST_ALIVE_ROW,
@@ -48,12 +49,14 @@ from .megakernel import (
     RAY_TILE,
     _pad_plan_rows,
     _pad_tiles,
+    bounce_step_tiles,
     camera_tile_plan,
     emit_tiles,
     resume_tiles,
 )
 
-__all__ = ["render_tiles_wavefront", "sort_bounce_state"]
+__all__ = ["bounce_tile_plan", "render_tiles_wavefront",
+           "sort_bounce_state"]
 
 _I32_MAX = np.int32(2**31 - 1)
 
@@ -126,9 +129,74 @@ def sort_bounce_state(state: Array, rng_state: Array, pix: Array,
     return st_s, rng_rows, pix_s
 
 
+def bounce_tile_plan(state: Array, grid):
+    """Per-tile front-to-back superblock plan from packed bounce state.
+
+    The interval generalization of ``camera_tile_plan``: each tile's
+    alive rays span an origin box [o_lo, o_hi] and a direction box
+    [d_lo, d_hi] (tight after the compaction sort groups rays by
+    direction octant and origin morton).  An interval slab test of that
+    hull against the superblock AABBs gives a conservative candidate
+    set for EVERY alive ray in the tile, and — directions being unit
+    here — the slab entry is already a t lower bound, so the kernel's
+    front-to-back early exit stays exact.
+
+    Returns (order, entry) padded via ``_pad_plan_rows``.
+    """
+    nt = state.shape[0] // _ST_ROWS
+    stv = state.reshape(nt, _ST_ROWS, RAY_TILE)
+    alive = stv[:, _ST_ALIVE_ROW] > 0.0  # (nt, RT)
+    big = np.float32(3e38)
+
+    def hull(k):
+        v = stv[:, k]
+        return (jnp.min(jnp.where(alive, v, big), axis=1, keepdims=True),
+                jnp.max(jnp.where(alive, v, -big), axis=1, keepdims=True))
+
+    o_iv = [hull(c) for c in range(3)]
+    d_iv = [hull(3 + c) for c in range(3)]
+
+    saabb = super_aabbs(grid)  # (6, LS)
+    ls = saabb.shape[1]
+    near_all = jnp.zeros((nt, 1), jnp.float32)
+    far_all = jnp.full((nt, 1), jnp.inf, jnp.float32)
+    for axis in range(3):
+        blo = saabb[axis][None, :]
+        bhi = saabb[axis + 3][None, :]
+        olo, ohi = o_iv[axis]
+        dlo, dhi = d_iv[axis]
+        spans0 = (dlo <= 0.0) & (dhi >= 0.0)
+        inv_a, inv_b = 1.0 / dhi, 1.0 / dlo  # same-sign interval recip
+        # numerator intervals for both slab planes
+        ca_lo, ca_hi = blo - ohi, blo - olo
+        cb_lo, cb_hi = bhi - ohi, bhi - olo
+        cands = [ca_lo * inv_a, ca_lo * inv_b, ca_hi * inv_a, ca_hi * inv_b,
+                 cb_lo * inv_a, cb_lo * inv_b, cb_hi * inv_a, cb_hi * inv_b]
+        near = cands[0]
+        far = cands[0]
+        for c in cands[1:]:
+            near = jnp.minimum(near, c)
+            far = jnp.maximum(far, c)
+        near = near - jnp.abs(near) * 4e-7  # rounding slack, conservative
+        far = far + jnp.abs(far) * 4e-7
+        bad = spans0 | jnp.isnan(near) | jnp.isnan(far)
+        near_all = jnp.maximum(near_all, jnp.where(bad, -jnp.inf, near))
+        far_all = jnp.minimum(far_all, jnp.where(bad, jnp.inf, far))
+
+    valid_box = (saabb[0] <= saabb[3])[None, :]
+    any_alive = jnp.any(alive, axis=1, keepdims=True)
+    hit = (near_all <= far_all) & (far_all >= 0.0) & valid_box & any_alive
+    entry = jnp.where(hit, jnp.maximum(near_all, 0.0), jnp.inf)
+    order = jnp.argsort(entry, axis=1).astype(jnp.int32)
+    sorted_entry = jnp.take_along_axis(entry, order, axis=1).astype(
+        jnp.float32)
+    return _pad_plan_rows(order, sorted_entry)
+
+
 @partial(jax.jit, static_argnames=("spp", "interpret", "det_eps", "tmin",
                                    "shadow_eps", "shadow_tmin",
-                                   "dialect", "jitter", "shadow_samples"))
+                                   "dialect", "jitter", "shadow_samples",
+                                   "capacity_tiles"))
 def render_tiles_wavefront(
     scene,
     xs: Array,
@@ -144,13 +212,28 @@ def render_tiles_wavefront(
     dialect: str = "gpu",
     jitter: str = "wang",
     shadow_samples: int = 1,
+    capacity_tiles: int | None = None,
 ) -> Array:
     """Wavefront render of swizzled pixel tiles -> (N, 3) radiance SUM
     over spp samples; drop-in for ``megakernel.render_tiles`` on
-    non-terminal scenes of either dialect (bit-identical output)."""
+    non-terminal scenes of either dialect (bit-identical output).
+
+    ``capacity_tiles``: static alive-wavefront capacity enabling the
+    STAGED scheduler — after the initial compaction sort, only the
+    first ``capacity_tiles`` tiles can hold alive rays, so each bounce
+    runs one planned kernel over just those tiles, then re-sorts them
+    (cheap at this width) to re-pack lane-level deaths and refresh the
+    per-tile traversal plans.  If any alive ray lands beyond the
+    capacity (a miscalibration), a ``lax.cond`` falls back to the
+    single-sort multi-bounce resume — output is identical either way.
+    ``None`` (default) always uses the single-sort resume."""
     grid = scene.accel
     xs_p, ys_p, n, np_rays = _pad_tiles(xs, ys)
     nt = np_rays // RAY_TILE
+    mb = int(scene.max_bounces)
+    staged_cap = capacity_tiles if (capacity_tiles is not None
+                                    and capacity_tiles < nt
+                                    and mb > 1) else None
 
     # scene bounds for morton quantization (any monotone map works;
     # block AABBs cover all real triangles)
@@ -170,17 +253,67 @@ def render_tiles_wavefront(
               shadow_eps=shadow_eps, shadow_tmin=shadow_tmin,
               dialect=dialect, shadow_samples=shadow_samples)
 
-    def one_sample(s):
-        st, rng = emit_tiles(scene, xs_p, ys_p, s, jitter=jitter,
-                             plan=plan, **kw)
-        st_s, rng_s, pix_s = sort_bounce_state(st, rng, pix, lo, span)
+    def resume_monolithic(op):
+        """Single-sort path: one multi-bounce resume over all tiles."""
+        st_s, rng_s, pix_s = op
         r, g, b = resume_tiles(scene, st_s, rng_s, **kw)
-        # radiance back to pixel order: one more (cheap) 3-payload sort
+        # radiance back to pixel order: one more (cheap) 4-operand sort
         _, r2, g2, b2 = jax.lax.sort(
             (pix_s, r.reshape(np_rays), g.reshape(np_rays),
              b.reshape(np_rays)),
             dimension=0, num_keys=1,
         )
+        return r2, g2, b2
+
+    def resume_staged(op):
+        """Staged path: per-bounce plan + kernel + re-sort on the alive
+        prefix only; radiance rides in the state's rd rows."""
+        st_s, rng_s, pix_s = op
+        cap = staged_cap
+        h_st = st_s[:cap * _ST_ROWS]
+        h_rng = rng_s[:cap * 8]
+        h_pix = pix_s[:cap * RAY_TILE]
+
+        def cond(c):
+            d, h_st, _, _ = c
+            a = h_st.reshape(cap, _ST_ROWS, RAY_TILE)[:, _ST_ALIVE_ROW]
+            return (d < mb) & jnp.any(a > 0.0)
+
+        def body(c):
+            d, h_st, h_rng, h_pix = c
+            order, entry = bounce_tile_plan(h_st, grid)
+            h_st, h_rng = bounce_step_tiles(scene, h_st, h_rng,
+                                            order, entry, **kw)
+            h_st, h_rng, h_pix = sort_bounce_state(
+                h_st, h_rng, h_pix, lo, span)
+            return d + 1, h_st, h_rng, h_pix
+
+        _, h_st, _, h_pix = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), h_st, h_rng, h_pix))
+
+        full_st = jnp.concatenate([h_st, st_s[cap * _ST_ROWS:]])
+        full_pix = jnp.concatenate([h_pix, pix_s[cap * RAY_TILE:]])
+        fv = full_st.reshape(nt, _ST_ROWS, RAY_TILE)
+        _, r2, g2, b2 = jax.lax.sort(
+            (full_pix, fv[:, 9].reshape(np_rays),
+             fv[:, 10].reshape(np_rays), fv[:, 11].reshape(np_rays)),
+            dimension=0, num_keys=1,
+        )
+        return r2, g2, b2
+
+    def one_sample(s):
+        st, rng = emit_tiles(scene, xs_p, ys_p, s, jitter=jitter,
+                             plan=plan, **kw)
+        st_s, rng_s, pix_s = sort_bounce_state(st, rng, pix, lo, span)
+        if staged_cap is None:
+            r2, g2, b2 = resume_monolithic((st_s, rng_s, pix_s))
+        else:
+            stv = st_s.reshape(nt, _ST_ROWS, RAY_TILE)
+            overflow = jnp.any(
+                stv[staged_cap:, _ST_ALIVE_ROW] > 0.0)
+            r2, g2, b2 = jax.lax.cond(
+                overflow, resume_monolithic, resume_staged,
+                (st_s, rng_s, pix_s))
         if dialect == "cpuonly":
             # no per-sample clamp in this dialect (clamped at PNG)
             return r2, g2, b2
@@ -208,3 +341,51 @@ def render_tiles_wavefront(
             jnp.arange(spp, dtype=jnp.int32),
         )
     return jnp.stack([a[:n] for a in acc], axis=1)  # (N, 3) sums
+
+
+@partial(jax.jit, static_argnames=("interpret", "det_eps", "tmin",
+                                   "shadow_eps", "shadow_tmin",
+                                   "dialect", "jitter", "shadow_samples"))
+def _emit_alive_rays(scene, xs_p, ys_p, **kw):
+    st, _ = emit_tiles(scene, xs_p, ys_p, 0, **kw)
+    stv = st.reshape(-1, _ST_ROWS, RAY_TILE)
+    return jnp.sum((stv[:, _ST_ALIVE_ROW] > 0.0).astype(jnp.int32))
+
+
+# scene-identity -> calibrated staged capacity (None = don't stage).
+# Correctness never depends on this cache: a stale/wrong capacity only
+# flips the staged scheduler's lax.cond to the single-sort fallback.
+_CAP_CACHE: dict = {}
+
+
+def auto_capacity_tiles(scene, margin: float = 1.5, **kw) -> int | None:
+    """Calibrate the staged scheduler's alive-wavefront capacity.
+
+    One emit dispatch (host round trip) counts the depth-0 survivors;
+    the capacity is that tile count with ``margin`` headroom, rounded
+    up to a power of two (so compile caching works across scenes of
+    similar occupancy).  Returns None when staging cannot help (alive
+    wavefront ~ the whole frame, or the scene never bounces).  The
+    result is cached per scene identity; jitter varies the survivor
+    count only marginally between samples, and the staged path's
+    overflow cond guarantees a correct image regardless.
+    """
+    if int(scene.max_bounces) <= 1:
+        return None
+    key = (id(scene), int(scene.camera.width), int(scene.camera.height))
+    if key in _CAP_CACHE:
+        return _CAP_CACHE[key]
+    from ..render.renderer import _swizzled_grid
+
+    w, h = int(scene.camera.width), int(scene.camera.height)
+    xs, ys, _ = _swizzled_grid(w, h)
+    xs_p, ys_p, _, np_rays = _pad_tiles(xs, ys)
+    nt = np_rays // RAY_TILE
+    alive = int(_emit_alive_rays(scene, xs_p, ys_p, **kw))
+    tiles = -(-int(alive * margin) // RAY_TILE)
+    cap = 8
+    while cap < tiles:
+        cap *= 2
+    result = None if cap * 2 >= nt else cap
+    _CAP_CACHE[key] = result
+    return result

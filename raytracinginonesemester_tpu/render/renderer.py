@@ -210,14 +210,34 @@ def render_scene(
     # captured at first trace and masked by the jit cache thereafter
     # (the sharded driver does the same; parallel/sharded.py)
     wavefront = os.environ.get("RT_WAVEFRONT", "0") == "1"
+    # RT_WAVEFRONT_CAP: staged per-bounce scheduling at this alive-
+    # wavefront capacity (tiles); "auto" calibrates with one emit
+    # dispatch (cached per scene).  Capacity is a static perf knob —
+    # the staged path falls back in-graph if it ever proves too small.
+    wavefront_cap = None
+    cap_env = os.environ.get("RT_WAVEFRONT_CAP", "")
+    if wavefront and cap_env:
+        if cap_env == "auto":
+            from ..ops.megakernel import megakernel_kwargs
+            from ..ops.wavefront import auto_capacity_tiles
+
+            spp_eff = spp_override if spp_override is not None else scene.spp
+            jm = resolve_jitter_mode(scene, jitter_mode, spp_eff)
+            mk_kw = megakernel_kwargs(scene, jm)
+            mk_kw.setdefault("jitter", jm if jm != "reference_cpu" else "wang")
+            wavefront_cap = auto_capacity_tiles(
+                scene, interpret=jax.default_backend() != "tpu", **mk_kw)
+        else:
+            wavefront_cap = int(cap_env)
     return _render_scene_jit(
         scene, jitter_mode=jitter_mode, ray_tile=ray_tile,
         spp_override=spp_override, sample_offset=sample_offset,
-        normalize=normalize, wavefront=wavefront)
+        normalize=normalize, wavefront=wavefront,
+        wavefront_cap=wavefront_cap)
 
 
 @partial(jax.jit, static_argnames=("jitter_mode", "ray_tile", "spp_override",
-                                   "normalize", "wavefront"))
+                                   "normalize", "wavefront", "wavefront_cap"))
 def _render_scene_jit(
     scene: Scene,
     jitter_mode: str,
@@ -226,6 +246,7 @@ def _render_scene_jit(
     sample_offset: Array | int,
     normalize: bool,
     wavefront: bool,
+    wavefront_cap: Optional[int] = None,
 ) -> Array:
     spp = spp_override if spp_override is not None else scene.spp
     w, h = scene.camera.width, scene.camera.height
@@ -255,7 +276,7 @@ def _render_scene_jit(
 
             accum = render_tiles_wavefront(
                 scene, xs, ys, spp, sample_offset=sample_offset,
-                **mk_kw,
+                capacity_tiles=wavefront_cap, **mk_kw,
             )
         else:
             accum = render_tiles(

@@ -55,3 +55,7 @@ timed("monolithic", lambda off: jnp.sum(
     mk.render_tiles(scene, xs, ys, 1, sample_offset=off)))
 timed("wavefront", lambda off: jnp.sum(
     render_tiles_wavefront(scene, xs, ys, 1, sample_offset=off)))
+for cap in (256, 128):
+    timed(f"staged@{cap}", lambda off, cap=cap: jnp.sum(
+        render_tiles_wavefront(scene, xs, ys, 1, sample_offset=off,
+                               capacity_tiles=cap)))

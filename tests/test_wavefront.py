@@ -57,6 +57,76 @@ def test_wavefront_sky_tiles_bit_identical():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize(
+    "diffuse,depth,spp,cap",
+    [(True, 3, 1, 4), (False, 4, 1, 4), (True, 2, 2, 8),
+     (True, 4, 1, 2)],  # cap=2 is intentionally tight (overflow cond)
+)
+def test_staged_wavefront_bit_identical(diffuse, depth, spp, cap):
+    """The STAGED scheduler (per-bounce plan + kernel + re-sort at a
+    static alive-wavefront capacity) must also be bit-identical: per-ray
+    math is the same bounce builder, plans are conservative (closest-hit
+    ties break on (t, id) so visit sets don't matter), and sorts only
+    permute.  Includes a too-small capacity, which must take the
+    in-graph overflow fallback rather than drop rays."""
+    scene = _two_frog_scene(width=128, height=64, diffuse_bounce=diffuse,
+                            max_bounces=depth)
+    scene = dataclasses.replace(scene, terminal_only=False)
+    xs, ys, _ = _swizzled_grid(128, 64)
+    a = np.asarray(render_tiles(scene, xs, ys, spp, interpret=True))
+    b = np.asarray(render_tiles_wavefront(
+        scene, xs, ys, spp, interpret=True, capacity_tiles=cap))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_bounce_tile_plan_conservative():
+    """Every block a tile's alive rays can hit must appear in the plan
+    with an entry that lower-bounds the true hit t: brute-force compare
+    per-ray slab hits against the tile-hull plan."""
+    import jax.numpy as jnp
+    from raytracinginonesemester_tpu.ops.accel import SUPER, super_aabbs
+    from raytracinginonesemester_tpu.ops.megakernel import emit_tiles
+    from raytracinginonesemester_tpu.ops.wavefront import bounce_tile_plan
+
+    scene = _two_frog_scene(width=128, height=64, diffuse_bounce=True,
+                            max_bounces=4)
+    scene = dataclasses.replace(scene, terminal_only=False)
+    xs, ys, _ = _swizzled_grid(128, 64)
+    xs_p, ys_p, _, np_rays = _pad_tiles(xs, ys)
+    st, _ = emit_tiles(scene, xs_p, ys_p, 0, interpret=True)
+    nt = np_rays // RAY_TILE
+    order, entry = bounce_tile_plan(st, scene.accel)
+    order, entry = np.asarray(order), np.asarray(entry)
+
+    stv = np.asarray(st).reshape(nt, _ST_ROWS, RAY_TILE)
+    saabb = np.asarray(super_aabbs(scene.accel))
+    ls = saabb.shape[1]
+    alive = stv[:, 12] > 0
+    for ti in range(nt):
+        if not alive[ti].any():
+            continue
+        o = stv[ti, 0:3][:, alive[ti]]  # (3, A)
+        d = stv[ti, 3:6][:, alive[ti]]
+        planned = {int(order[ti, k]): float(entry[ti, k])
+                   for k in range(ls) if np.isfinite(entry[ti, k])}
+        for s in range(ls):
+            if saabb[0, s] > saabb[3, s]:
+                continue  # padded empty superblock
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t1 = (saabb[0:3, s][:, None] - o) / d
+                t2 = (saabb[3:6, s][:, None] - o) / d
+            near = np.nanmax(np.minimum(t1, t2), axis=0)
+            far = np.nanmin(np.maximum(t1, t2), axis=0)
+            hits = (near <= far) & (far >= 0.0)
+            if not hits.any():
+                continue
+            assert s in planned, f"tile {ti}: superblock {s} missing"
+            true_entry = np.maximum(near[hits], 0.0).min()
+            assert planned[s] <= true_entry + 1e-5, (
+                f"tile {ti} super {s}: plan entry {planned[s]} > "
+                f"true {true_entry}")
+
+
 def test_emit_state_rows_always_written():
     """Every state row must be defined for every tile (sky tiles
     included): dead rays carry a unit direction and the miss radiance."""
