@@ -949,7 +949,7 @@ def _make_rng_hemisphere(rng_st, hm_x, hm_y, hm_z):
 def _make_bounce(traverse, shade, rng_next_lane, hemisphere,
                  diffuse_bounce, n_objects, miss_rgb, mats_ref,
                  tp_refs, rd_refs, rng_st, alive_st, bo_refs, bd_refs,
-                 nx_l, ny_l, nz_l, obj_l, chunk_shadow=False,
+                 nx_l, ny_l, nz_l, obj_l, hm_refs=None, chunk_shadow=False,
                  dialect="gpu"):
     miss_r, miss_g, miss_b = miss_rgb
     cpuonly = dialect == "cpuonly"
@@ -1031,12 +1031,33 @@ def _make_bounce(traverse, shade, rng_next_lane, hemisphere,
 
         nx, ny, nz = nx_l[:], ny_l[:], nz_l[:]
         if diffuse_bounce:
-            rng_before = rng_st[:]
-            hx, hy, hz = hemisphere((nx, ny, nz))
-            # hemisphere() advanced every lane; roll back lanes that
-            # did not take the diffuse branch (masked state
-            # threading, ops/integrator.py bounce)
-            rng_st[:] = jnp.where(take_diff, rng_st[:], rng_before)
+            # the lockstep rejection sampler is the most expensive part
+            # of the bounce decision (~9 rounds x 3 RNG draws for the
+            # whole tile); skip it when NO lane takes the diffuse branch
+            # — bit-exact, since skipped tiles multiply the sample by
+            # td_f == 0 everywhere and non-diffuse lanes' RNG advances
+            # are rolled back regardless.  The flipped sample lands in
+            # the hm_* scratches so the unguarded reads below see it;
+            # dead-tile reads are masked by take_diff (select, not
+            # multiply, so stale/uninitialized scratch bits are inert).
+            assert hm_refs is not None
+            hm_x, hm_y, hm_z = hm_refs
+
+            @pl.when(jnp.any(take_diff))
+            def _():
+                rng_before = rng_st[:]
+                fx, fy, fz = hemisphere((nx, ny, nz))
+                hm_x[:] = fx
+                hm_y[:] = fy
+                hm_z[:] = fz
+                # hemisphere() advanced every lane; roll back lanes that
+                # did not take the diffuse branch (masked state
+                # threading, ops/integrator.py bounce)
+                rng_st[:] = jnp.where(take_diff, rng_st[:], rng_before)
+
+            hx = jnp.where(take_diff, hm_x[:], 0.0)
+            hy = jnp.where(take_diff, hm_y[:], 0.0)
+            hz = jnp.where(take_diff, hm_z[:], 0.0)
             ndotl_h = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0)
             # diffuse throughput: albedo * 2 N.L (query.h:195-199), with
             # the CPUOnly extra * (kd + kr) factor (raytracer.h:240-248)
@@ -1265,8 +1286,8 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
             diffuse_bounce, n_objects, (miss_r, miss_g, miss_b), mats_ref,
             (tp_r, tp_g, tp_b), (rd_r, rd_g, rd_b), rng_st, alive_st,
             (bo_x, bo_y, bo_z), (bd_x, bd_y, bd_z),
-            nx_l, ny_l, nz_l, obj_l, chunk_shadow=bool(chunk),
-            dialect=dialect,
+            nx_l, ny_l, nz_l, obj_l, hm_refs=(hm_x, hm_y, hm_z),
+            chunk_shadow=bool(chunk), dialect=dialect,
         )
 
         def sample_body(s, _):
@@ -1597,7 +1618,8 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
         diffuse_bounce, n_objects, (miss_r, miss_g, miss_b), mats_ref,
         (tp_r, tp_g, tp_b), (rd_r, rd_g, rd_b), rng_st, alive_st,
         (bo_x, bo_y, bo_z), (bd_x, bd_y, bd_z),
-        nx_l, ny_l, nz_l, obj_l, dialect=dialect,
+        nx_l, ny_l, nz_l, obj_l, hm_refs=(hm_x, hm_y, hm_z),
+        dialect=dialect,
     )
 
     @pl.when(has_work)
@@ -1678,7 +1700,8 @@ def _resume_kernel(det_eps, tmin, shadow_eps, shadow_tmin, max_depth,
         diffuse_bounce, n_objects, (miss_r, miss_g, miss_b), mats_ref,
         (tp_r, tp_g, tp_b), (rd_r, rd_g, rd_b), rng_st, alive_st,
         (bo_x, bo_y, bo_z), (bd_x, bd_y, bd_z),
-        nx_l, ny_l, nz_l, obj_l, dialect=dialect,
+        nx_l, ny_l, nz_l, obj_l, hm_refs=(hm_x, hm_y, hm_z),
+        dialect=dialect,
     )
 
     # the sort puts dead rays last, so dead tiles are a suffix of the
@@ -1922,7 +1945,8 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
         diffuse_bounce, n_objects, (miss_r, miss_g, miss_b), mats_ref,
         (tp_r, tp_g, tp_b), (rd_r, rd_g, rd_b), rng_st, alive_st,
         (bo_x, bo_y, bo_z), (bd_x, bd_y, bd_z),
-        nx_l, ny_l, nz_l, obj_l, dialect=dialect,
+        nx_l, ny_l, nz_l, obj_l, hm_refs=(hm_x, hm_y, hm_z),
+        dialect=dialect,
     )
 
     # dead tiles (the sorted suffix) skip straight to the passthrough

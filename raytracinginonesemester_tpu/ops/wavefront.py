@@ -219,12 +219,13 @@ def render_tiles_wavefront(
     non-terminal scenes of either dialect (bit-identical output).
 
     ``capacity_tiles``: static alive-wavefront capacity enabling the
-    STAGED scheduler — after the initial compaction sort, only the
-    first ``capacity_tiles`` tiles can hold alive rays, so each bounce
-    runs one planned kernel over just those tiles, then re-sorts them
-    (cheap at this width) to re-pack lane-level deaths and refresh the
-    per-tile traversal plans.  If any alive ray lands beyond the
-    capacity (a miscalibration), a ``lax.cond`` falls back to the
+    STAGED scheduler — the tiles holding depth-0 survivors (at most
+    ``capacity_tiles`` of them) are gathered into a compact subset,
+    compaction-sorted there, and each bounce runs one planned kernel
+    over just those tiles, re-sorting them (cheap at this width) to
+    re-pack lane-level deaths and refresh the per-tile traversal
+    plans.  If more tiles survive than the capacity (a
+    miscalibration), a ``lax.cond`` falls back to the global
     single-sort multi-bounce resume — output is identical either way.
     ``None`` (default) always uses the single-sort resume."""
     grid = scene.accel
@@ -265,14 +266,9 @@ def render_tiles_wavefront(
         )
         return r2, g2, b2
 
-    def resume_staged(op):
-        """Staged path: per-bounce plan + kernel + re-sort on the alive
-        prefix only; radiance rides in the state's rd rows."""
-        st_s, rng_s, pix_s = op
-        cap = staged_cap
-        h_st = st_s[:cap * _ST_ROWS]
-        h_rng = rng_s[:cap * 8]
-        h_pix = pix_s[:cap * RAY_TILE]
+    def _staged_loop(h_st, h_rng, h_pix, cap):
+        """The per-bounce plan + kernel + re-sort loop on packed tiles;
+        radiance rides in the state's rd rows."""
 
         def cond(c):
             d, h_st, _, _ = c
@@ -290,30 +286,70 @@ def render_tiles_wavefront(
 
         _, h_st, _, h_pix = jax.lax.while_loop(
             cond, body, (jnp.int32(1), h_st, h_rng, h_pix))
-
-        full_st = jnp.concatenate([h_st, st_s[cap * _ST_ROWS:]])
-        full_pix = jnp.concatenate([h_pix, pix_s[cap * RAY_TILE:]])
-        fv = full_st.reshape(nt, _ST_ROWS, RAY_TILE)
-        _, r2, g2, b2 = jax.lax.sort(
-            (full_pix, fv[:, 9].reshape(np_rays),
-             fv[:, 10].reshape(np_rays), fv[:, 11].reshape(np_rays)),
-            dimension=0, num_keys=1,
-        )
-        return r2, g2, b2
+        return h_st, h_pix
 
     def one_sample(s):
         st, rng = emit_tiles(scene, xs_p, ys_p, s, jitter=jitter,
                              plan=plan, **kw)
-        st_s, rng_s, pix_s = sort_bounce_state(st, rng, pix, lo, span)
         if staged_cap is None:
+            st_s, rng_s, pix_s = sort_bounce_state(st, rng, pix, lo, span)
             r2, g2, b2 = resume_monolithic((st_s, rng_s, pix_s))
         else:
-            stv = st_s.reshape(nt, _ST_ROWS, RAY_TILE)
-            overflow = jnp.any(
-                stv[staged_cap:, _ST_ALIVE_ROW] > 0.0)
+            # Tile-gather compaction: the expensive reorder primitive is
+            # the ~2M-row 16-operand sort (~20 ms at 1080p), yet every
+            # alive ray lives in a handful of tiles.  Gather the alive
+            # tiles (a tiny argsort + a cap-row gather), run the SAME
+            # compaction sort on just that subset (~cap*RAY_TILE rows),
+            # stage the bounces there, and scatter the subset's radiance
+            # tiles over the emit-pass radiance at the end.  Bit-exact
+            # vs the global sort: every alive ray gets the same packing
+            # key and per-ray math never depends on ray placement (the
+            # framework's ordering-invariance contract).
+            cap = staged_cap
+            stv = st.reshape(nt, _ST_ROWS, RAY_TILE)
+            alive_t = jnp.any(stv[:, _ST_ALIVE_ROW] > 0.0, axis=1)  # (nt,)
+            overflow = jnp.sum(alive_t.astype(jnp.int32)) > cap
+
+            def global_path(op):
+                st, rng = op
+                return resume_monolithic(
+                    sort_bounce_state(st, rng, pix, lo, span))
+
+            def subset_path(op):
+                st, rng = op
+                iota_t = jnp.arange(nt, dtype=jnp.int32)
+                key_t = jnp.where(alive_t, iota_t, iota_t + nt)
+                # ascending tile ids so the post-loop pix sort lands the
+                # subset's rows back in idx order
+                idx = jnp.sort(jnp.argsort(key_t)[:cap])
+                st_g = st.reshape(nt, _ST_ROWS * RAY_TILE)[idx].reshape(
+                    cap * _ST_ROWS, RAY_TILE)
+                rng_g = rng.reshape(nt, 8 * RAY_TILE)[idx].reshape(
+                    cap * 8, RAY_TILE)
+                pix_g = (
+                    idx[:, None] * RAY_TILE
+                    + jnp.arange(RAY_TILE, dtype=jnp.int32)[None, :]
+                ).reshape(cap * RAY_TILE)
+                h_st, h_rng, h_pix = sort_bounce_state(
+                    st_g, rng_g, pix_g, lo, span)
+                h_st, h_pix = _staged_loop(h_st, h_rng, h_pix, cap)
+                fv = h_st.reshape(cap, _ST_ROWS, RAY_TILE)
+                _, r_s, g_s, b_s = jax.lax.sort(
+                    (h_pix,
+                     fv[:, 9].reshape(cap * RAY_TILE),
+                     fv[:, 10].reshape(cap * RAY_TILE),
+                     fv[:, 11].reshape(cap * RAY_TILE)),
+                    dimension=0, num_keys=1,
+                )
+                outs = []
+                for row, sub in zip((9, 10, 11), (r_s, g_s, b_s)):
+                    full = stv[:, row].at[idx].set(
+                        sub.reshape(cap, RAY_TILE))
+                    outs.append(full.reshape(np_rays))
+                return tuple(outs)
+
             r2, g2, b2 = jax.lax.cond(
-                overflow, resume_monolithic, resume_staged,
-                (st_s, rng_s, pix_s))
+                overflow, global_path, subset_path, (st, rng))
         if dialect == "cpuonly":
             # no per-sample clamp in this dialect (clamped at PNG)
             return r2, g2, b2
@@ -346,10 +382,11 @@ def render_tiles_wavefront(
 @partial(jax.jit, static_argnames=("interpret", "det_eps", "tmin",
                                    "shadow_eps", "shadow_tmin",
                                    "dialect", "jitter", "shadow_samples"))
-def _emit_alive_rays(scene, xs_p, ys_p, **kw):
+def _emit_alive_tiles(scene, xs_p, ys_p, **kw):
     st, _ = emit_tiles(scene, xs_p, ys_p, 0, **kw)
     stv = st.reshape(-1, _ST_ROWS, RAY_TILE)
-    return jnp.sum((stv[:, _ST_ALIVE_ROW] > 0.0).astype(jnp.int32))
+    return jnp.sum(
+        jnp.any(stv[:, _ST_ALIVE_ROW] > 0.0, axis=1).astype(jnp.int32))
 
 
 # scene-identity -> calibrated staged capacity (None = don't stage).
@@ -361,14 +398,14 @@ _CAP_CACHE: dict = {}
 def auto_capacity_tiles(scene, margin: float = 1.5, **kw) -> int | None:
     """Calibrate the staged scheduler's alive-wavefront capacity.
 
-    One emit dispatch (host round trip) counts the depth-0 survivors;
-    the capacity is that tile count with ``margin`` headroom, rounded
-    up to a power of two (so compile caching works across scenes of
-    similar occupancy).  Returns None when staging cannot help (alive
-    wavefront ~ the whole frame, or the scene never bounces).  The
-    result is cached per scene identity; jitter varies the survivor
-    count only marginally between samples, and the staged path's
-    overflow cond guarantees a correct image regardless.
+    One emit dispatch (host round trip) counts the tiles holding
+    depth-0 survivors; the capacity is that count with ``margin``
+    headroom, rounded up to a power of two (so compile caching works
+    across scenes of similar occupancy).  Returns None when staging
+    cannot help (alive wavefront ~ the whole frame, or the scene never
+    bounces).  The result is cached per scene identity; jitter varies
+    the survivor count only marginally between samples, and the staged
+    path's overflow cond guarantees a correct image regardless.
     """
     if int(scene.max_bounces) <= 1:
         return None
@@ -381,8 +418,7 @@ def auto_capacity_tiles(scene, margin: float = 1.5, **kw) -> int | None:
     xs, ys, _ = _swizzled_grid(w, h)
     xs_p, ys_p, _, np_rays = _pad_tiles(xs, ys)
     nt = np_rays // RAY_TILE
-    alive = int(_emit_alive_rays(scene, xs_p, ys_p, **kw))
-    tiles = -(-int(alive * margin) // RAY_TILE)
+    tiles = int(int(_emit_alive_tiles(scene, xs_p, ys_p, **kw)) * margin)
     cap = 8
     while cap < tiles:
         cap *= 2
