@@ -78,6 +78,24 @@ _DEBUG_SKIP_ATTRS = _os.environ.get("MK_SKIP_ATTRS") == "1"
 # per-block scan overhead of the bounce flat scan
 _DEBUG_SKIP_DENSE_BOUNCE = _os.environ.get("MK_SKIP_DENSE_BOUNCE") == "1"
 
+# Visit-body branch experiment: MK_NO_WHEN=1 runs the winner-update
+# body of every dense visit UNCONDITIONALLY (every write in it is
+# already where-gated on take, so this is bit-exact) instead of behind
+# pl.when(any(take)) — measures whether the scalar branch itself stalls
+# Mosaic's visit pipeline.
+_NO_WHEN = _os.environ.get("MK_NO_WHEN", "0") == "1"
+
+# MXU winner-attribute selection: per firing visit, select ALL winner
+# attributes (tri v0/e1/e2 for the exact u/v recompute, vertex normals,
+# geometric normal, object id) with ONE one-hot (RT, B) x (B, 128) bf16
+# matmul instead of masked cross-lane reductions.  Attribute values are
+# pre-split into three bf16 parts (hi/mid/lo) whose f32 sum is
+# bit-exact for |q| in [1e-32, 3.38e38] (scripts/probe_mm_select.py
+# verifies bit-identity end to end); the one-hot row has exactly one
+# 1.0, so the MXU f32 accumulation is a pure selection.  Costs one
+# (L*B, 128) bf16 VMEM operand (~0.26 KB/triangle).
+_MM_ATTRS = _os.environ.get("MK_MM_ATTRS", "1") == "1"
+
 # Sublane-chunked dense visits for incoherent bounce wavefronts: the
 # slab mask `boxed` says which of the tile's rays can possibly improve
 # in a block; after a diffuse bounce only ~3-5% can, scattered across
@@ -262,12 +280,22 @@ def camera_tile_plan(camera, xs: Array, ys: Array, grid, ray_tile: int):
 # B) that add XLA-side compaction between bounces.
 
 
-def _shading_normal(dialect, d_vec, nrm, u, v):
-    """Winner-triangle shading normal for one dense visit.
+def _interp_normal(nrm, u, v):
+    """Raw (unnormalized) interpolated vertex normal — the only part of
+    the shading-normal computation that genuinely needs the dense
+    per-(ray, triangle) grid; everything downstream operates on the
+    winner's selected values (``_finish_shading_normal``)."""
+    n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z = nrm[:9]
+    w = 1.0 - u - v
+    snx = w * n0x + u * n1x + v * n2x
+    sny = w * n0y + u * n1y + v * n2y
+    snz = w * n0z + u * n1z + v * n2z
+    return snx, sny, snz
 
-    ``nrm`` is the block's 12 normal planes (vertex normals n0/n1/n2 +
-    geometric normal g); ``d_vec`` the ray direction in the same layout
-    as the planes.
+
+def _finish_shading_normal(dialect, d_vec, sn, g):
+    """Normalize/sidedness/hemisphere logic of the shading normal on
+    already-selected winner values (any elementwise layout).
 
     - gpu: geometric sidedness + hemisphere alignment + zero-length
       interpolation fallback (``query.h:113-126``).
@@ -276,12 +304,9 @@ def _shading_normal(dialect, d_vec, nrm, u, v):
       (``CPUOnly/include/ray.h:76-92``; ``make_hit_frame`` mode
       "cpuonly").
     """
-    n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z, gx, gy, gz = nrm
+    snx, sny, snz = sn
+    gx, gy, gz = g
     dx, dy, dz = d_vec
-    w = 1.0 - u - v
-    snx = w * n0x + u * n1x + v * n2x
-    sny = w * n0y + u * n1y + v * n2y
-    snz = w * n0z + u * n1z + v * n2z
     dg = dx * gx + dy * gy + dz * gz
     gsign = jnp.where(dg < 0.0, 1.0, -1.0)
     len_sq = snx * snx + sny * sny + snz * snz
@@ -300,12 +325,23 @@ def _shading_normal(dialect, d_vec, nrm, u, v):
     return snx * fsign, sny * fsign, snz * fsign
 
 
+def _shading_normal(dialect, d_vec, nrm, u, v):
+    """Winner-triangle shading normal for one dense visit (the fused
+    dense form; production visits select first and call
+    ``_finish_shading_normal`` on the winner instead)."""
+    snx, sny, snz = _interp_normal(nrm, u, v)
+    return _finish_shading_normal(dialect, d_vec, (snx, sny, snz),
+                                  nrm[9:12])
+
+
 def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
                    tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
                    order_ref, entry_ref,
                    t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
-                   chunk=0, col_scr=None, dialect="gpu"):
+                   chunk=0, col_scr=None, dialect="gpu", qsel_ref=None,
+                   mm_f32_dot=False):
     rt = t_col.shape[0]
+    bsize = ids_ref.shape[1]
     int_max = np.int32(2**31 - 1)
     tmin_l = jnp.full((1, rt), tmin, jnp.float32)
     tmin_c = jnp.full((rt, 1), tmin, jnp.float32)
@@ -370,8 +406,7 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
                     t_lane[:] = _to_lane(new_t)
                 return
 
-            @pl.when(jnp.any(take))
-            def _():
+            def _take_body():
                 new_t = jnp.where(take, min_t, old_t)
                 t_col[:] = new_t
                 idx_col[:] = jnp.where(take, best_id, old_idx)
@@ -379,23 +414,99 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
                 take_l = _to_lane(jnp.where(take, 1.0, 0.0)) > 0.0
                 pick = at_min & (id_key == best_id)
 
+                if qsel_ref is not None:
+                    # MXU winner-attribute selection: one one-hot
+                    # (RT, B) x (B, 128) bf16 matmul selects every
+                    # winner attribute at once (bit-exact 3-part
+                    # reconstruction; see _build_qsel), then u/v and
+                    # the shading normal are recomputed per lane with
+                    # EXACTLY _mt_block's / _interp_normal's op order
+                    # on the selected values — identical bits to the
+                    # dense-then-select form.
+                    qb = qsel_ref[pl.ds(b * bsize, bsize), :]
+                    if mm_f32_dot:
+                        # interpret mode: XLA:CPU lacks bf16xbf16->f32
+                        # dots; the f32 dot of the SAME part values is
+                        # bit-identical (one-hot selection is exact in
+                        # either dot type)
+                        mm = jnp.dot(jnp.where(pick, 1.0, 0.0),
+                                     qb.astype(jnp.float32),
+                                     preferred_element_type=jnp.float32)
+                    else:
+                        pick_bf = jnp.where(pick, 1.0, 0.0).astype(
+                            jnp.bfloat16)
+                        mm = jnp.dot(pick_bf, qb,
+                                     preferred_element_type=jnp.float32)
+                    outt = mm.T  # (128, RT) — attrs land lane-major
+                    attr = lambda f: (outt[f:f + 1, :]
+                                      + outt[32 + f:33 + f, :]
+                                      + outt[64 + f:65 + f, :])
+                    v0x, v0y, v0z = attr(0), attr(1), attr(2)
+                    e1x, e1y, e1z = attr(3), attr(4), attr(5)
+                    e2x, e2y, e2z = attr(6), attr(7), attr(8)
+                    dx, dy, dz = d_l
+                    ox = o_l[0]
+                    oy = o_l[1]
+                    oz = o_l[2]
+                    # _mt_block's exact sequence on the winner values
+                    pvx = dy * e2z - dz * e2y
+                    pvy = dz * e2x - dx * e2z
+                    pvz = dx * e2y - dy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    inv_det = 1.0 / jnp.where(
+                        jnp.abs(det) < det_eps, 1.0, det)
+                    tvx = ox - v0x
+                    tvy = oy - v0y
+                    tvz = oz - v0z
+                    u_w = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v_w = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                    sn_w = _interp_normal(
+                        tuple(attr(9 + k_) for k_ in range(9)), u_w, v_w)
+                    g_w = (attr(18), attr(19), attr(20))
+                    snx, sny, snz = _finish_shading_normal(
+                        dialect, d_l, sn_w, g_w)
+                    nx_l[:] = jnp.where(take_l, snx, nx_l[:])
+                    ny_l[:] = jnp.where(take_l, sny, ny_l[:])
+                    nz_l[:] = jnp.where(take_l, snz, nz_l[:])
+                    obj_l[:] = jnp.where(
+                        take_l, attr(21).astype(jnp.int32), obj_l[:])
+                    return
+
+                # VPU fallback (scenes whose qsel would not fit VMEM):
+                # interpolate the vertex normal densely (the one
+                # per-(ray, tri) quantity), then SELECT the winner's
+                # raw interpolation + geometric normal and finish
+                # (normalize/sidedness/flip) on (RT, 1) columns.
+                # Bit-identical to finishing densely and selecting last
+                # (same values, same op order on the winner).
                 nrm = tuple(
                     norm_ref[pl.ds(k_ * num_blocks + b, 1), :]
                     for k_ in range(12)
                 )
-                snx, sny, snz = _shading_normal(
-                    dialect, (dx_c, dy_c, dz_c), nrm, u, v)
+                rnx, rny, rnz = _interp_normal(nrm, u, v)
                 sel = lambda q: jnp.sum(
                     jnp.where(pick, q, 0.0), axis=1, keepdims=True
                 )
-                nx_l[:] = jnp.where(take_l, _to_lane(sel(snx)), nx_l[:])
-                ny_l[:] = jnp.where(take_l, _to_lane(sel(sny)), ny_l[:])
-                nz_l[:] = jnp.where(take_l, _to_lane(sel(snz)), nz_l[:])
+                sn_w = (sel(rnx), sel(rny), sel(rnz))
+                g_w = (sel(nrm[9]), sel(nrm[10]), sel(nrm[11]))
+                snx, sny, snz = _finish_shading_normal(
+                    dialect, (dx_c, dy_c, dz_c), sn_w, g_w)
+                nx_l[:] = jnp.where(take_l, _to_lane(snx), nx_l[:])
+                ny_l[:] = jnp.where(take_l, _to_lane(sny), ny_l[:])
+                nz_l[:] = jnp.where(take_l, _to_lane(snz), nz_l[:])
                 objs = obj_ref[pl.ds(b, 1), :]  # (1, B) int32
                 sel_obj = jnp.sum(
                     jnp.where(pick, objs, 0), axis=1, keepdims=True
                 )
                 obj_l[:] = jnp.where(take_l, _to_lane(sel_obj), obj_l[:])
+
+            if _NO_WHEN:
+                _take_body()
+            else:
+                pl.when(jnp.any(take))(_take_body)
 
         def visit_block_chunked(b, boxed_col):
             """Dense test gated per ``chunk`` sublane rows.
@@ -1159,10 +1270,10 @@ def _make_primary(xy_ref, cam_ref, off_ref, jitter="wang"):
 def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
                    max_depth, diffuse_bounce, terminal, chunk,
                    dialect, jitter, shadow_samples,
-                   num_blocks, num_supers, n_lights, n_objects,
+                   num_blocks, num_supers, n_lights, n_objects, mm_attrs,
                    xy_ref, cam_ref, lights_ref, mats_ref, off_ref,
                    tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
-                   order_ref, entry_ref,
+                   qsel_ref, order_ref, entry_ref,
                    r_out, g_out, b_out, *rest):
     col_scr = None
     spos_scr = None
@@ -1242,6 +1353,8 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
         order_ref, entry_ref,
         t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
         chunk=chunk, col_scr=col_scr, dialect=dialect,
+        qsel_ref=qsel_ref if mm_attrs else None,
+        mm_f32_dot=mm_attrs == 2,
     )
     shade = _make_shade(
         det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
@@ -1341,6 +1454,45 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
         b_out[pl.ds(row, 1), :] = acc_b[:]
 
 
+_QSEL_F = 22  # qsel features: tri v0/e1/e2 (9) | vn n0/n1/n2 (9) | g (3) | obj (1)
+
+
+def mm_attrs_for(grid) -> bool:
+    """Whether the MXU winner-attribute selection is enabled for this
+    grid (env switch + the extra (L*B, 128) bf16 operand must fit the
+    kernel VMEM budget next to the triangle planes)."""
+    if not _MM_ATTRS:
+        return False
+    from .pallas_kernels import _VMEM_TRI_BUDGET_BYTES, _grid_bytes
+
+    l, b = grid.tri_index.shape
+    return _grid_bytes(l, b) + l * b * 128 * 2 < _VMEM_TRI_BUDGET_BYTES
+
+
+def _build_qsel(grid):
+    """(L*B, 128) bf16 selection matrix: per triangle row, attribute
+    values split into three bf16 parts — hi at cols [0, 22), mid at
+    [32, 54), lo at [64, 86).  The f32 sum hi+mid+lo reconstructs each
+    attribute bit-exactly for |q| in [1e-32, 3.38e38] (padding
+    triangles are zeroed; scripts/probe_mm_select.py)."""
+    l, b = grid.tri_index.shape
+    valid = (grid.tri_index >= 0)[None]  # (1, L, B)
+    feats = jnp.concatenate([
+        grid.tri,                              # (9, L, B)
+        grid.norm,                             # (12, L, B)
+        grid.obj[None].astype(jnp.float32),    # (1, L, B)
+    ])
+    feats = jnp.where(valid, feats, 0.0).reshape(_QSEL_F, l * b).T
+    hi = feats.astype(jnp.bfloat16)
+    r = feats - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    q = jnp.zeros((l * b, 128), jnp.bfloat16)
+    return (q.at[:, 0:_QSEL_F].set(hi)
+            .at[:, 32:32 + _QSEL_F].set(mid)
+            .at[:, 64:64 + _QSEL_F].set(lo))
+
+
 def _scene_rows(scene, grid):
     """Host-side operand prep shared by the fused kernels: scalar rows
     (SMEM) + plane-SoA geometry (VMEM) with their BlockSpecs."""
@@ -1381,9 +1533,14 @@ def _scene_rows(scene, grid):
 
     scalar_ops = (cam_row, lights_rows, mats_rows)
     scalar_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+    # MXU attr selection: the qsel matrix when enabled, a dummy row
+    # otherwise (operand arity stays fixed; the static mm_attrs flag
+    # tells the kernel which path was compiled)
+    qsel = (_build_qsel(grid) if mm_attrs_for(grid)
+            else jnp.zeros((16, 128), jnp.bfloat16))
     geom_ops = (tri_rows, norm_rows, grid.tri_index, grid.obj,
-                aabb_rows, aabb_lane)
-    geom_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+                aabb_rows, aabb_lane, qsel)
+    geom_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
     return (scalar_ops, scalar_specs, geom_ops, geom_specs,
             n_lights, n_objects)
 
@@ -1502,7 +1659,7 @@ def render_tiles(
                 max_depth, bool(scene.diffuse_bounce), terminal,
                 int(chunk) if not terminal else 0,
                 dialect, jitter, int(shadow_samples),
-                l, ls, n_lights, n_objects),
+                l, ls, n_lights, n_objects, (2 if interpret else 1) if mm_attrs_for(grid) else 0),
         out_shape=[jax.ShapeDtypeStruct((nt, RAY_TILE), jnp.float32)] * 3,
         grid_spec=pl.GridSpec(
             grid=(nt,),
@@ -1539,10 +1696,10 @@ _ST_ALIVE_ROW = 12  # the aliveness flag row (1.0 alive / 0.0 dead)
 
 def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
                  dialect, jitter, shadow_samples,
-                 num_blocks, num_supers, n_lights, n_objects,
+                 num_blocks, num_supers, n_lights, n_objects, mm_attrs,
                  xy_ref, cam_ref, lights_ref, mats_ref, off_ref,
                  tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
-                 order_ref, entry_ref,
+                 qsel_ref, order_ref, entry_ref,
                  st_out, rng_out, *scratch):
     cpuonly = dialect == "cpuonly"
     spos_scr = None
@@ -1602,7 +1759,8 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
         tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
         order_ref, entry_ref,
         t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
-        dialect=dialect,
+        dialect=dialect, qsel_ref=qsel_ref if mm_attrs else None,
+        mm_f32_dot=mm_attrs == 2,
     )
     shade = _make_shade(
         det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
@@ -1652,10 +1810,10 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
 def _resume_kernel(det_eps, tmin, shadow_eps, shadow_tmin, max_depth,
                    diffuse_bounce, dialect, shadow_samples,
                    num_blocks, num_supers,
-                   n_lights, n_objects,
+                   n_lights, n_objects, mm_attrs,
                    cam_ref, lights_ref, mats_ref,
                    tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
-                   order_ref, entry_ref, st_ref, rng_ref,
+                   qsel_ref, order_ref, entry_ref, st_ref, rng_ref,
                    r_out, g_out, b_out, *scratch):
     cpuonly = dialect == "cpuonly"
     spos_scr = None
@@ -1684,7 +1842,8 @@ def _resume_kernel(det_eps, tmin, shadow_eps, shadow_tmin, max_depth,
         tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
         order_ref, entry_ref,
         t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
-        dialect=dialect,
+        dialect=dialect, qsel_ref=qsel_ref if mm_attrs else None,
+        mm_f32_dot=mm_attrs == 2,
     )
     shade = _make_shade(
         det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
@@ -1804,7 +1963,7 @@ def emit_tiles(
         partial(_emit_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
                 bool(scene.diffuse_bounce),
                 dialect, jitter, int(shadow_samples),
-                l, ls, n_lights, n_objects),
+                l, ls, n_lights, n_objects, (2 if interpret else 1) if mm_attrs_for(grid) else 0),
         out_shape=[
             jax.ShapeDtypeStruct((nt * _ST_ROWS, RAY_TILE), jnp.float32),
             jax.ShapeDtypeStruct((nt * 8, RAY_TILE), jnp.int32),
@@ -1875,7 +2034,7 @@ def resume_tiles(
         partial(_resume_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
                 int(scene.max_bounces), bool(scene.diffuse_bounce),
                 dialect, int(shadow_samples),
-                l, 128, n_lights, n_objects),
+                l, 128, n_lights, n_objects, (2 if interpret else 1) if mm_attrs_for(grid) else 0),
         out_shape=[jax.ShapeDtypeStruct((nt, RAY_TILE), jnp.float32)] * 3,
         grid_spec=pl.GridSpec(
             grid=(nt,),
@@ -1891,9 +2050,11 @@ def resume_tiles(
 def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
                         diffuse_bounce, dialect, shadow_samples,
                         num_blocks, num_supers, n_lights, n_objects,
+                        mm_attrs,
                         cam_ref, lights_ref, mats_ref,
                         tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref,
-                        alane_ref, order_ref, entry_ref, st_ref, rng_ref,
+                        alane_ref, qsel_ref, order_ref, entry_ref,
+                        st_ref, rng_ref,
                         st_out, rng_out, *scratch):
     """ONE planned bounce on packed per-ray state (state in, state out).
 
@@ -1929,7 +2090,8 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
         tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
         order_ref, entry_ref,
         t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
-        dialect=dialect,
+        dialect=dialect, qsel_ref=qsel_ref if mm_attrs else None,
+        mm_f32_dot=mm_attrs == 2,
     )
     shade = _make_shade(
         det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
@@ -2012,7 +2174,7 @@ def bounce_step_tiles(
     st, rng = pl.pallas_call(
         partial(_bounce_step_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
                 bool(scene.diffuse_bounce), dialect, int(shadow_samples),
-                l, ls, n_lights, n_objects),
+                l, ls, n_lights, n_objects, (2 if interpret else 1) if mm_attrs_for(grid) else 0),
         out_shape=[
             jax.ShapeDtypeStruct((nt * _ST_ROWS, RAY_TILE), jnp.float32),
             jax.ShapeDtypeStruct((nt * 8, RAY_TILE), jnp.int32),
