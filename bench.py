@@ -140,6 +140,15 @@ def main():
 
     render = lambda s: render_scene(s, jitter_mode="wang", ray_tile=args.ray_tile)
 
+    # one eager render first: warms the kernel compiles AND the staged
+    # wavefront capacity calibration cache (ops.wavefront
+    # auto_capacity_tiles), so the jitted steady-state loop below traces
+    # the staged scheduler instead of falling back
+    t0 = time.time()
+    img = render(scene)
+    jax.block_until_ready(img)
+    print(f"eager warm render: {time.time() - t0:.2f}s", file=sys.stderr)
+
     # NOTE: under the tunneled single-chip runtime block_until_ready can
     # return before remote execution finishes, so every timed frame is
     # synced by fetching a (4-byte) scalar checksum — the moral
@@ -175,7 +184,6 @@ def main():
         float(jax.device_get(frame_checksum(scene, (i + 1) * args.frames)))
         times.append(time.time() - t0)
     dt = sorted(times)[len(times) // 2] / args.frames  # median, per frame
-    img = render(scene)
 
     rays = args.width * args.height * args.spp
     rays_per_s = rays / dt

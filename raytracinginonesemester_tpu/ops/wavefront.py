@@ -409,9 +409,22 @@ def auto_capacity_tiles(scene, margin: float = 1.5, **kw) -> int | None:
     """
     if int(scene.max_bounces) <= 1:
         return None
-    key = (id(scene), int(scene.camera.width), int(scene.camera.height))
+    # key on static scene attributes (not object identity) so a cache
+    # warmed by an eager render also serves the same scene traced
+    # inside an outer jit (where the pytree is rebuilt from tracers);
+    # a collision costs nothing but perf — the staged path's overflow
+    # cond guarantees a correct image at any capacity
+    key = (int(scene.camera.width), int(scene.camera.height),
+           int(scene.geometry.padded_triangles), int(scene.max_bounces),
+           int(scene.spp), scene.dialect)
     if key in _CAP_CACHE:
         return _CAP_CACHE[key]
+    if isinstance(scene.accel.tri, jax.core.Tracer):
+        # render_scene is being traced inside an outer jit (e.g. a
+        # bench/serving loop): the calibration emit cannot dispatch
+        # eagerly here.  Return None (single-sort resume) — callers
+        # that want staging warm the cache with one eager render first.
+        return None
     from ..render.renderer import _swizzled_grid
 
     w, h = int(scene.camera.width), int(scene.camera.height)

@@ -208,14 +208,21 @@ def render_scene(
     # RT_WAVEFRONT is read here, OUTSIDE the jitted body, and passed as
     # a static arg — an env read inside the traced function would be
     # captured at first trace and masked by the jit cache thereafter
-    # (the sharded driver does the same; parallel/sharded.py)
-    wavefront = os.environ.get("RT_WAVEFRONT", "0") == "1"
+    # (the sharded driver does the same; parallel/sharded.py).
+    # Default "auto": the staged wavefront scheduler is the production
+    # path for eligible bouncing scenes (measured 189.8 -> 138.4 ms on
+    # the frog 1080p depth-8 workload); "0" forces the monolithic
+    # megakernel, "1" forces wavefront unconditionally.
+    wf_env = os.environ.get("RT_WAVEFRONT", "auto")
+    wavefront = wf_env in ("1", "auto")
     # RT_WAVEFRONT_CAP: staged per-bounce scheduling at this alive-
-    # wavefront capacity (tiles); "auto" calibrates with one emit
-    # dispatch (cached per scene).  Capacity is a static perf knob —
-    # the staged path falls back in-graph if it ever proves too small.
+    # wavefront capacity (tiles); "auto" (default) calibrates with one
+    # emit dispatch (cached per scene; under an outer jit trace it
+    # falls back to the single-sort resume until an eager render warms
+    # the cache).  Capacity is a static perf knob — the staged path
+    # falls back in-graph if it ever proves too small.
     wavefront_cap = None
-    cap_env = os.environ.get("RT_WAVEFRONT_CAP", "")
+    cap_env = os.environ.get("RT_WAVEFRONT_CAP", "auto")
     if wavefront and cap_env:
         if cap_env == "auto":
             from ..ops.megakernel import megakernel_kwargs
@@ -229,6 +236,11 @@ def render_scene(
                 scene, interpret=jax.default_backend() != "tpu", **mk_kw)
         else:
             wavefront_cap = int(cap_env)
+    if wf_env == "auto" and wavefront_cap is None:
+        # no staged capacity (scene never bounces, alive wavefront ~
+        # whole frame, or calibration impossible under an outer trace):
+        # the monolithic megakernel beats the single-sort wavefront
+        wavefront = False
     return _render_scene_jit(
         scene, jitter_mode=jitter_mode, ray_tile=ray_tile,
         spp_override=spp_override, sample_offset=sample_offset,
