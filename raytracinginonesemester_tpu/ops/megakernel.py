@@ -78,6 +78,32 @@ _DEBUG_SKIP_ATTRS = _os.environ.get("MK_SKIP_ATTRS") == "1"
 # per-block scan overhead of the bounce flat scan
 _DEBUG_SKIP_DENSE_BOUNCE = _os.environ.get("MK_SKIP_DENSE_BOUNCE") == "1"
 
+# Traversal order: the planned walk visits fewer blocks front-to-back
+# but its data-dependent block index defeats Mosaic's strided-read
+# pipelining (the same effect that made the flat scan beat the ordered
+# bounce scan).  Measured on frog 1080p depth-8 (39 blocks): flat
+# camera pass saves ~22 ms, flat staged bounces ~5 ms, bit-identical
+# (the (t, id) tie-break is visit-order invariant).  Flat wins while
+# the per-tile slab sweep is cheap; scenes with many blocks keep the
+# planned walk's early exit.  MK_EMIT_FLAT / MK_STAGED_FLAT = 0/1
+# force either choice; MK_FLAT_MAX_BLOCKS moves the crossover.
+_FLAT_MAX_BLOCKS = int(_os.environ.get("MK_FLAT_MAX_BLOCKS", "96"))
+
+
+def _flat_choice(env_name, num_blocks):
+    v = _os.environ.get(env_name, "")
+    if v in ("0", "1"):
+        return v == "1"
+    return num_blocks <= _FLAT_MAX_BLOCKS
+
+
+def emit_flat(num_blocks: int) -> bool:
+    return _flat_choice("MK_EMIT_FLAT", num_blocks)
+
+
+def staged_flat(num_blocks: int) -> bool:
+    return _flat_choice("MK_STAGED_FLAT", num_blocks)
+
 # Visit-body branch experiment: MK_NO_WHEN=1 runs the winner-update
 # body of every dense visit UNCONDITIONALLY (every write in it is
 # already where-gated on take, so this is bit-exact) instead of behind
@@ -1419,7 +1445,7 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
             alive_st[:] = jnp.ones((1, rt), jnp.float32)
 
             # depth 0: planned, shared-origin traversal
-            bounce(True, (cx, cy, cz))
+            bounce(not emit_flat(num_blocks), (cx, cy, cz))
 
             def d_cond(depth):
                 return (depth < max_depth) & jnp.any(alive_st[:] > 0.0)
@@ -1798,7 +1824,7 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
 
         # depth 0: planned, shared-origin traversal + direct light +
         # the RR bounce decision (bit-identical to the monolithic path)
-        bounce(True, (cx, cy, cz))
+        bounce(not emit_flat(num_blocks), (cx, cy, cz))
 
         for r_, ref in enumerate((bo_x, bo_y, bo_z, bd_x, bd_y, bd_z,
                                   tp_r, tp_g, tp_b, rd_r, rd_g, rd_b,
@@ -2114,7 +2140,7 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
     # dead tiles (the sorted suffix) skip straight to the passthrough
     @pl.when(jnp.any(alive_st[:] > 0.0))
     def _():
-        bounce(True)
+        bounce(not staged_flat(num_blocks))
 
     for r_, ref in enumerate((bo_x, bo_y, bo_z, bd_x, bd_y, bd_z,
                               tp_r, tp_g, tp_b, rd_r, rd_g, rd_b,

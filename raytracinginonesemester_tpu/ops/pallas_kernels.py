@@ -142,13 +142,14 @@ def _mt_block(o, d, tri, det_eps, tmin, tmax):
     return jnp.where(ok, t, F32_MAX), u, v
 
 
-def _load_rays(rays_ref):
-    """Sublane-major loads: (RAY_TILE, 1) columns for the dense test."""
-    o = tuple(rays_ref[:, k].reshape(-1, 1) for k in range(3))
-    d = tuple(rays_ref[:, k].reshape(-1, 1) for k in range(3, 6))
-    tmin = rays_ref[:, 6].reshape(-1, 1)
-    tmax = rays_ref[:, 7].reshape(-1, 1)
-    return o, d, tmin, tmax
+def _load_rays_cols(lane_ref):
+    """Sublane-major (RAY_TILE, 1) column loads for the dense test,
+    derived from the lane-major rows by relayout (same float values; a
+    dedicated (RP, 8) ray operand would tile its 8 lanes to 128 in
+    VMEM — 16x staging waste that OOM'd scoped VMEM at 2M rays)."""
+    o, d, tmin, tmax = _load_rays_lane(lane_ref)
+    return (tuple(_to_col(c) for c in o), tuple(_to_col(c) for c in d),
+            _to_col(tmin), _to_col(tmax))
 
 
 def _load_rays_lane(lane_ref):
@@ -190,36 +191,48 @@ def _tile_slab(aabb_ref, b, o, inv_d, tmin, tmax):
 
 def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
                     n_shadow, shadow_eps, shadow_tmin,
-                    rays_ref, lane_ref, tri_ref, norm_ref, ids_ref, aabb_ref,
+                    lane_ref, tri_ref, norm_ref, ids_ref, aabb_ref,
                     order_ref, entry_ref, *rest):
+    # Outputs are (1, RT) lane-major ROWS of (NT, RT) arrays — a
+    # sublane-major (RP, 1) output array tiles to (8, 128) with 127 of
+    # 128 lanes padding, which at 2M rays made XLA's scoped-VMEM
+    # staging of the results alone exceed the 16 MB budget.  Running
+    # state lives in column/lane scratches instead and is written out
+    # once at the end.
     if n_shadow:
         lights_ref = rest[0]
         rest = rest[1:]
-    n_scratch = 1 + (1 if n_shadow else 0)
+    n_scratch = 5 + (3 if with_normals else 0) + (1 if n_shadow else 0)
     outs, scratch = rest[:-n_scratch], rest[-n_scratch:]
     t_lane = scratch[0]  # (1, RT) running best, lane-major
+    t_col, u_col, v_col, idx_col = scratch[1:5]  # (RT, 1) state columns
+    scratch = scratch[5:]
+    if with_normals:
+        nx_s, ny_s, nz_s = scratch[:3]  # (1, RT) shading normal state
+        scratch = scratch[3:]
     if n_shadow:
-        blk_lane = scratch[1]  # (1, RT) shadow blocked accumulator
+        blk_lane = scratch[0]  # (1, RT) shadow blocked accumulator
     if n_shadow:
-        t_out, u_out, v_out, idx_out, nx_out, ny_out, nz_out, vis_out = outs
+        t_out, u_out, v_out, idx_out, nx_out, ny_out, nz_out = outs[:7]
+        vis_outs = outs[7:]
     elif with_normals:
         t_out, u_out, v_out, idx_out, nx_out, ny_out, nz_out = outs
     else:
         t_out, u_out, v_out, idx_out = outs
-    o, d, tmin, _ = _load_rays(rays_ref)
+    o, d, tmin, _ = _load_rays_cols(lane_ref)
     o_l, d_l, tmin_l, _ = _load_rays_lane(lane_ref)
     inv_l = tuple(1.0 / c for c in d_l)
-    rt = t_out.shape[0]
+    rt = t_col.shape[0]
 
-    t_out[:] = jnp.full((rt, 1), F32_MAX, jnp.float32)
+    t_col[:] = jnp.full((rt, 1), F32_MAX, jnp.float32)
     t_lane[:] = jnp.full((1, rt), F32_MAX, jnp.float32)
-    u_out[:] = jnp.zeros((rt, 1), jnp.float32)
-    v_out[:] = jnp.zeros((rt, 1), jnp.float32)
-    idx_out[:] = jnp.full((rt, 1), -1, jnp.int32)
+    u_col[:] = jnp.zeros((rt, 1), jnp.float32)
+    v_col[:] = jnp.zeros((rt, 1), jnp.float32)
+    idx_col[:] = jnp.full((rt, 1), -1, jnp.int32)
     if with_normals:
-        nx_out[:] = jnp.zeros((rt, 1), jnp.float32)
-        ny_out[:] = jnp.zeros((rt, 1), jnp.float32)
-        nz_out[:] = jnp.full((rt, 1), 1.0, jnp.float32)
+        nx_s[:] = jnp.zeros((1, rt), jnp.float32)
+        ny_s[:] = jnp.zeros((1, rt), jnp.float32)
+        nz_s[:] = jnp.full((1, rt), 1.0, jnp.float32)
 
     # plan rows come in groups of 8 sublanes; ours is program_id % 8
     row = jax.lax.rem(pl.program_id(0), 8)
@@ -239,7 +252,7 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
             tri_ref[pl.ds(k_ * num_blocks + b, 1), :] for k_ in range(9)
         )
         ids = ids_ref[pl.ds(b, 1), :]  # (1, B)
-        t, u, v = _mt_block(o, d, tri, det_eps, tmin, t_out[:])
+        t, u, v = _mt_block(o, d, tri, det_eps, tmin, t_col[:])
         t = jnp.where(ids >= 0, t, F32_MAX)
         min_t = jnp.min(t, axis=1, keepdims=True)
         # (t, id) lexicographic tie-break, matching accel.block_closest;
@@ -248,8 +261,8 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
         id_key = jnp.where(at_min & (ids >= 0), ids, _INT_MAX)
         best_id = jnp.min(id_key, axis=1, keepdims=True)
 
-        old_t = t_out[:]
-        old_idx = idx_out[:]
+        old_t = t_col[:]
+        old_idx = idx_col[:]
         old_key = jnp.where(old_idx >= 0, old_idx, _INT_MAX)
         take = (min_t < F32_MAX) & (
             (min_t < old_t) | ((min_t == old_t) & (best_id < old_key))
@@ -261,14 +274,14 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
         @pl.when(jnp.any(take))
         def _():
             new_t = jnp.where(take, min_t, old_t)
-            t_out[:] = new_t
+            t_col[:] = new_t
             t_lane[:] = _to_lane(new_t)
-            idx_out[:] = jnp.where(take, best_id, old_idx)
+            idx_col[:] = jnp.where(take, best_id, old_idx)
             pick = at_min & (id_key == best_id)
             sel_u = jnp.sum(jnp.where(pick, u, 0.0), axis=1, keepdims=True)
             sel_v = jnp.sum(jnp.where(pick, v, 0.0), axis=1, keepdims=True)
-            u_out[:] = jnp.where(take, sel_u, u_out[:])
-            v_out[:] = jnp.where(take, sel_v, v_out[:])
+            u_col[:] = jnp.where(take, sel_u, u_col[:])
+            v_col[:] = jnp.where(take, sel_v, v_col[:])
 
             if with_normals:
                 # gpu-dialect shading-normal hygiene (query.h:113-126)
@@ -299,12 +312,13 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
                 flip = (snx * ogx + sny * ogy + snz * ogz) < 0.0
                 fsign = jnp.where(flip, -1.0, 1.0)
                 snx, sny, snz = snx * fsign, sny * fsign, snz * fsign
+                take_l = _to_lane(jnp.where(take, 1.0, 0.0)) > 0.0
                 sel_nx = jnp.sum(jnp.where(pick, snx, 0.0), axis=1, keepdims=True)
                 sel_ny = jnp.sum(jnp.where(pick, sny, 0.0), axis=1, keepdims=True)
                 sel_nz = jnp.sum(jnp.where(pick, snz, 0.0), axis=1, keepdims=True)
-                nx_out[:] = jnp.where(take, sel_nx, nx_out[:])
-                ny_out[:] = jnp.where(take, sel_ny, ny_out[:])
-                nz_out[:] = jnp.where(take, sel_nz, nz_out[:])
+                nx_s[:] = jnp.where(take_l, _to_lane(sel_nx), nx_s[:])
+                ny_s[:] = jnp.where(take_l, _to_lane(sel_ny), ny_s[:])
+                nz_s[:] = jnp.where(take_l, _to_lane(sel_nz), nz_s[:])
 
     def body(k):
         sb = order_ref[row, k]
@@ -322,6 +336,15 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
 
     jax.lax.while_loop(cond, body, jnp.int32(0))
 
+    t_out[pl.ds(row, 1), :] = t_lane[:]
+    u_out[pl.ds(row, 1), :] = _to_lane(u_col[:])
+    v_out[pl.ds(row, 1), :] = _to_lane(v_col[:])
+    idx_out[pl.ds(row, 1), :] = _to_lane(idx_col[:])
+    if with_normals:
+        nx_out[pl.ds(row, 1), :] = nx_s[:]
+        ny_out[pl.ds(row, 1), :] = ny_s[:]
+        nz_out[pl.ds(row, 1), :] = nz_s[:]
+
     if n_shadow:
         # --- fused shadow rays (IsInShadow, shader.h:44-62) ---
         # Shares the VMEM triangle planes: per light, spawn the shadow
@@ -331,18 +354,19 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
         # tiles exit after the slab sweep.  All per-ray state here is
         # lane-major; only the dense triangle test under pl.when touches
         # the sublane-major copies.
-        ox, oy, oz = o
-        dx, dy, dz = d
-        t_hit = t_out[:]
-        hit_c = idx_out[:] >= 0
-        px_c = jnp.where(hit_c, ox + t_hit * dx + nx_out[:] * shadow_eps, 1e30)
-        py_c = jnp.where(hit_c, oy + t_hit * dy + ny_out[:] * shadow_eps, 1e30)
-        pz_c = jnp.where(hit_c, oz + t_hit * dz + nz_out[:] * shadow_eps, 1e30)
         hit_l = t_lane[:] < F32_MAX
-        px_l, py_l, pz_l = _to_lane(px_c), _to_lane(py_c), _to_lane(pz_c)
-        nx_lane = _to_lane(nx_out[:])
-        ny_lane = _to_lane(ny_out[:])
-        nz_lane = _to_lane(nz_out[:])
+        nx_lane = nx_s[:]
+        ny_lane = ny_s[:]
+        nz_lane = nz_s[:]
+        # hit points built lane-major (same values/op order as the
+        # former column form: o + t*d + n*eps elementwise)
+        px_l = jnp.where(hit_l, o_l[0] + t_lane[:] * d_l[0]
+                         + nx_lane * shadow_eps, 1e30)
+        py_l = jnp.where(hit_l, o_l[1] + t_lane[:] * d_l[1]
+                         + ny_lane * shadow_eps, 1e30)
+        pz_l = jnp.where(hit_l, o_l[2] + t_lane[:] * d_l[2]
+                         + nz_lane * shadow_eps, 1e30)
+        px_c, py_c, pz_c = _to_col(px_l), _to_col(py_l), _to_col(pz_l)
         dx_l, dy_l, dz_l = d_l
         # view = -d for unit ray dirs; backfacing (N.V<=0) lanes shade to
         # zero through the brdf `lit` gate whatever visibility says
@@ -402,7 +426,7 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
 
             jax.lax.while_loop(s_cond, s_body, jnp.int32(0))
             vis_l = jnp.where(facing & (blk_lane[:] == 0.0), 1.0, 0.0)
-            vis_out[:, li:li + 1] = _to_col(vis_l)
+            vis_outs[li][pl.ds(row, 1), :] = vis_l
 
 
 def _pad_plan_rows(order, entry):
@@ -424,10 +448,12 @@ def _prep_rays(origins, dirs, tmin, tmax):
         dirs[:, 0], dirs[:, 1], dirs[:, 2],
         tmin, tmax,
     ], axis=1)  # (R, 8)
-    pad = (-r) % RAY_TILE
+    pad = (-r) % (8 * RAY_TILE)
     if pad:
         # padded rays point nowhere: infinite origin makes every slab
-        # entry inf, so they never appear in any tile's visit plan
+        # entry inf, so they never appear in any tile's visit plan.
+        # Whole 8-tile groups because output blocks are (8, RT) rows
+        # shared by 8 consecutive programs (Mosaic's sublane floor).
         filler = jnp.full((pad, 8), 1.0, jnp.float32).at[:, 0:3].set(1e30)
         rays = jnp.concatenate([rays, filler])
     return rays, r + pad
@@ -489,11 +515,10 @@ def pallas_block_closest(
     norm_rows = grid.norm.reshape(12 * l, b)
     aabb_rows = jnp.pad(grid.aabb.T, (((0, (-l) % 8)), (0, 2)))  # (Lp, 8)
 
-    out_col = lambda: pl.BlockSpec(
-        (RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+    out_row = lambda: pl.BlockSpec(
+        (8, RAY_TILE), lambda i: (i // 8, 0), memory_space=pltpu.VMEM
     )
     in_specs = [
-        pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows (9L, B)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # norm rows (12L, B)
@@ -505,7 +530,7 @@ def pallas_block_closest(
         pl.BlockSpec((8, ls), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((8, ls), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
     ]
-    inputs = [rays, lane, tri_rows, norm_rows, grid.tri_index, aabb_rows,
+    inputs = [lane, tri_rows, norm_rows, grid.tri_index, aabb_rows,
               order, entry]
     if n_shadow:
         lights_pad = jnp.pad(
@@ -514,19 +539,27 @@ def pallas_block_closest(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # lights
         inputs.append(lights_pad)
 
+    nt = rp // RAY_TILE
     dtypes = [jnp.float32, jnp.float32, jnp.float32, jnp.int32]
     if return_normal:
         dtypes += [jnp.float32, jnp.float32, jnp.float32]
-    out_shapes = [jax.ShapeDtypeStruct((rp, 1), dt) for dt in dtypes]
-    out_specs = [out_col() for _ in dtypes]
-    if n_shadow:
-        out_shapes.append(jax.ShapeDtypeStruct((rp, n_shadow), jnp.float32))
-        out_specs.append(
-            pl.BlockSpec((RAY_TILE, n_shadow), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-        )
+    # one (NT, RT) row array per result + per shadow light: lane-major
+    # rows tile VMEM/HBM densely.  The former (RP, 1) column outputs
+    # tiled to (8, 128) with 127/128 lanes padding, which made XLA's
+    # scoped-VMEM staging of the results OOM at 2M-ray wavefronts.
+    dtypes += [jnp.float32] * n_shadow
+    out_shapes = [jax.ShapeDtypeStruct((nt, RAY_TILE), dt) for dt in dtypes]
+    out_specs = [out_row() for _ in dtypes]
 
-    scratch_shapes = [pltpu.VMEM((1, RAY_TILE), jnp.float32)]  # t_lane
+    scratch_shapes = [
+        pltpu.VMEM((1, RAY_TILE), jnp.float32),   # t_lane
+        pltpu.VMEM((RAY_TILE, 1), jnp.float32),   # t_col
+        pltpu.VMEM((RAY_TILE, 1), jnp.float32),   # u_col
+        pltpu.VMEM((RAY_TILE, 1), jnp.float32),   # v_col
+        pltpu.VMEM((RAY_TILE, 1), jnp.int32),     # idx_col
+    ]
+    if return_normal:
+        scratch_shapes += [pltpu.VMEM((1, RAY_TILE), jnp.float32)] * 3
     if n_shadow:
         scratch_shapes.append(pltpu.VMEM((1, RAY_TILE), jnp.float32))  # blk
 
@@ -542,25 +575,25 @@ def pallas_block_closest(
         interpret=interpret,
     )(*inputs)
 
-    t, u, v, idx = (a[:r, 0] for a in outs[:4])
+    t, u, v, idx = (a.reshape(rp)[:r] for a in outs[:4])
     hits = HitData(t=t, u=u, v=v, tri_idx=idx, hit=idx >= 0)
     if n_shadow:
-        normal = jnp.concatenate([a[:r] for a in outs[4:7]], axis=1)
-        vis = outs[7][:r]
+        normal = jnp.stack([a.reshape(rp)[:r] for a in outs[4:7]], axis=1)
+        vis = jnp.stack([a.reshape(rp)[:r] for a in outs[7:]], axis=1)
         return hits, normal, vis
     if return_normal:
-        normal = jnp.concatenate([a[:r] for a in outs[4:]], axis=1)
+        normal = jnp.stack([a.reshape(rp)[:r] for a in outs[4:]], axis=1)
         return hits, normal
     return hits
 
 
 def _occluded_kernel(det_eps, num_blocks, num_supers, block_size,
-                     rays_ref, lane_ref, tri_ref, ids_ref, aabb_ref,
+                     lane_ref, tri_ref, ids_ref, aabb_ref,
                      order_ref, entry_ref, out_ref, blk_lane):
-    o, d, tmin, tmax = _load_rays(rays_ref)
+    o, d, tmin, tmax = _load_rays_cols(lane_ref)
     o_l, d_l, tmin_l, tmax_l = _load_rays_lane(lane_ref)
     inv_l = tuple(1.0 / c for c in d_l)
-    rt = out_ref.shape[0]
+    rt = out_ref.shape[1]
     blk_lane[:] = jnp.zeros((1, rt), jnp.float32)
     row = jax.lax.rem(pl.program_id(0), 8)
     from .accel import SUPER
@@ -600,8 +633,7 @@ def _occluded_kernel(det_eps, num_blocks, num_supers, block_size,
         return k + 1
 
     jax.lax.while_loop(cond, body, jnp.int32(0))
-    # relayout the f32 mask, not the bool: Mosaic only reshapes 32-bit
-    out_ref[:] = (_to_col(blk_lane[:]) > 0.0).astype(jnp.int32)
+    out_ref[pl.ds(row, 1), :] = (blk_lane[:] > 0.0).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("det_eps", "interpret"))
@@ -633,7 +665,6 @@ def pallas_block_occluded(
     grid_spec = pl.GridSpec(
         grid=(rp // RAY_TILE,),
         in_specs=[
-            pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ids
@@ -642,17 +673,18 @@ def pallas_block_occluded(
             pl.BlockSpec((8, ls), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, RAY_TILE), lambda i: (i // 8, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((1, RAY_TILE), jnp.float32)],
     )
     (blocked,) = pl.pallas_call(
         partial(_occluded_kernel, det_eps, l, ls, b),
-        out_shape=[jax.ShapeDtypeStruct((rp, 1), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((rp // RAY_TILE, RAY_TILE), jnp.int32)],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rays, lane, tri_rows, grid.tri_index, aabb_rows, order, entry)
-    return blocked[:r, 0] > 0
+    )(lane, tri_rows, grid.tri_index, aabb_rows, order, entry)
+    return blocked.reshape(rp)[:r] > 0
 
 
 # --- chunked variants for scenes whose planes exceed VMEM ---

@@ -269,6 +269,17 @@ def render_tiles_wavefront(
     def _staged_loop(h_st, h_rng, h_pix, cap):
         """The per-bounce plan + kernel + re-sort loop on packed tiles;
         radiance rides in the state's rd rows."""
+        from .megakernel import staged_flat
+
+        # the flat-scan bounce kernel never reads the plan (see
+        # megakernel traversal-order notes); hand it zeros instead of
+        # building the hull/slab/argsort plan every bounce
+        flat = staged_flat(grid.num_blocks)
+        if flat:
+            ls = -(-grid.num_blocks // 8)  # accel.SUPER
+            cap8 = -(-cap // 8) * 8
+            zero_plan = (jnp.zeros((cap8, ls), jnp.int32),
+                         jnp.zeros((cap8, ls), jnp.float32))
 
         def cond(c):
             d, h_st, _, _ = c
@@ -277,7 +288,8 @@ def render_tiles_wavefront(
 
         def body(c):
             d, h_st, h_rng, h_pix = c
-            order, entry = bounce_tile_plan(h_st, grid)
+            order, entry = (zero_plan if flat
+                            else bounce_tile_plan(h_st, grid))
             h_st, h_rng = bounce_step_tiles(scene, h_st, h_rng,
                                             order, entry, **kw)
             h_st, h_rng, h_pix = sort_bounce_state(
