@@ -419,7 +419,7 @@ def auto_capacity_tiles(scene, margin: float = 1.5, **kw) -> int | None:
     the survivor count only marginally between samples, and the staged
     path's overflow cond guarantees a correct image regardless.
     """
-    if int(scene.max_bounces) <= 1:
+    if scene.accel is None or int(scene.max_bounces) <= 1:
         return None
     # key on static scene attributes (not object identity) so a cache
     # warmed by an eager render also serves the same scene traced
