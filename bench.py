@@ -19,6 +19,81 @@ import sys
 import time
 
 
+def _bench_backward(args):
+    """Backward-pass throughput: one jitted value_and_grad step of the
+    inverse-rendering pixel loss w.r.t. materials + light + vertices
+    (BASELINE config 4's workload, differentiable brute-force path) —
+    backward rays/s = W*H*spp / step_time."""
+    import dataclasses
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import raytracinginonesemester_tpu as rt
+    from raytracinginonesemester_tpu.core.camera import Camera
+    from raytracinginonesemester_tpu.diff.inverse import (
+        apply_params, extract_params, render_loss)
+
+    w = args.width or 320
+    h = args.height or 180
+    spp = args.spp or 1
+    scene_path = args.scene or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests/assets/scenes/gpu_spheres.json")
+    scene = rt.load_scene(scene_path, accel="none")
+    cam = Camera.create(
+        position=(0.0, -2.5, 1.2), look_at=(0.0, 0.0, 0.5), up=(0, 0, 1),
+        focal_length_mm=24.0, width=w, height=h,
+    )
+    scene = dataclasses.replace(scene, camera=cam,
+                                max_bounces=args.bounces or 2, spp=spp)
+    target = rt.render_scene(scene, jitter_mode="center", spp_override=spp)
+    params = extract_params(
+        scene, keys=("albedo", "light_intensity", "vertices"))
+    # perturb away from the optimum so the measured backward pass carries
+    # real (nonzero) gradients, like an actual inverse-render step
+    rs = np.random.RandomState(0)
+    params = {
+        k: jnp.asarray(np.asarray(v) * (1.0 + 0.05 * rs.standard_normal(
+            np.asarray(v).shape).astype(np.float32)))
+        for k, v in params.items()
+    }
+
+    vg = jax.jit(jax.value_and_grad(
+        lambda p, s: render_loss(p, scene, target + 0.0 * s,
+                                 jitter_mode="center", spp_override=spp)))
+
+    def run(i):
+        loss, grads = vg(params, jnp.float32(i))
+        # sync by scalar fetch (block_until_ready lies over the tunnel)
+        return (float(jax.device_get(loss))
+                + float(jax.device_get(jnp.sum(grads["albedo"]))))
+
+    t0 = time.time()
+    chk = run(0)
+    print(f"grad warmup (compile + 1 step): {time.time() - t0:.2f}s, "
+          f"checksum {chk:.6f}", file=sys.stderr)
+    times = []
+    for i in range(args.iters):
+        t0 = time.time()
+        run(i + 1)
+        times.append(time.time() - t0)
+    dt = sorted(times)[len(times) // 2]
+    rays = w * h * spp
+    bw_rays = rays / dt
+    print(f"grad step: {dt*1e3:.2f} ms @ {w}x{h} spp={spp} "
+          f"bounces={scene.max_bounces} params=albedo+light+vertices "
+          f"-> {bw_rays:.3e} backward rays/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "backward_rays_per_s_per_chip",
+        "value": bw_rays,
+        "unit": "rays/s",
+        "vs_baseline": bw_rays / 5e8,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=None)
@@ -29,7 +104,7 @@ def main():
                     help="terminal-only variant (no diffuse bounces); the "
                     "faithful frog.json workload has diffuse_bounce=true")
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--frames", type=int, default=4,
+    ap.add_argument("--frames", type=int, default=8,
                     help="frames rendered back-to-back on-chip per timed "
                     "dispatch (lax.scan over sample offsets).  The tunneled "
                     "dev runtime pays a ~28 ms host round trip per dispatch "
@@ -44,6 +119,13 @@ def main():
                     help="use the XLA block path instead of Pallas kernels")
     ap.add_argument("--save", type=str, default=None,
                     help="write the benchmark render to this PNG path")
+    ap.add_argument("--grad", action="store_true",
+                    help="benchmark the BACKWARD pass instead: one "
+                    "value_and_grad step of the inverse-rendering loss "
+                    "(pixel MSE vs a target) w.r.t. materials + light + "
+                    "vertices on the differentiable sphere scene "
+                    "(BASELINE config 4); prints backward_rays_per_s as "
+                    "the JSON line")
     ap.add_argument("--scene", type=str, default=None,
                     help="benchmark an arbitrary reference-format scene "
                     "JSON (either dialect) instead of the built-in frog "
@@ -53,6 +135,14 @@ def main():
 
     if args.quick:
         args.width, args.height, args.iters = 320, 180, 2
+    if args.grad:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        print(f"device: {jax.devices()[0]}", file=sys.stderr)
+        _bench_backward(args)
+        return
     if args.scene is None:
         # the faithful frog.json headline workload defaults
         args.width = args.width or 1920

@@ -139,8 +139,13 @@ def intersect_closest(
         jnp.zeros((r,), jnp.float32),
         jnp.full((r,), -1, jnp.int32),
     )
+    # remat: without it reverse-mode saves every chunk's (R, chunk)
+    # Moller-Trumbore intermediates across the scan — hundreds of GB at
+    # 1080p — instead of recomputing them in the backward pass.  No-op
+    # for forward-only renders.
     (best_t, best_u, best_v, best_idx), _ = jax.lax.scan(
-        body, init, (jnp.arange(t_count // chunk, dtype=jnp.int32), tris)
+        jax.checkpoint(body), init,
+        (jnp.arange(t_count // chunk, dtype=jnp.int32), tris)
     )
     hit = best_idx >= 0
     return HitData(t=best_t, u=best_u, v=best_v, tri_idx=best_idx, hit=hit)
@@ -177,7 +182,8 @@ def occluded(
         ok = valid & (t >= tmin[:, None]) & (t <= tmax[:, None])
         return blocked | jnp.any(ok, axis=-1), None
 
-    blocked, _ = jax.lax.scan(body, jnp.zeros((r,), bool), tris)
+    blocked, _ = jax.lax.scan(jax.checkpoint(body),
+                              jnp.zeros((r,), bool), tris)
     return blocked
 
 

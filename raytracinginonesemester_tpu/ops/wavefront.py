@@ -407,7 +407,7 @@ def _emit_alive_tiles(scene, xs_p, ys_p, **kw):
 _CAP_CACHE: dict = {}
 
 
-def auto_capacity_tiles(scene, margin: float = 1.5, **kw) -> int | None:
+def auto_capacity_tiles(scene, margin: float = 1.2, **kw) -> int | None:
     """Calibrate the staged scheduler's alive-wavefront capacity.
 
     One emit dispatch (host round trip) counts the tiles holding
