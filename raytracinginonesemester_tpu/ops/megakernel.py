@@ -88,21 +88,25 @@ _DEBUG_SKIP_DENSE_BOUNCE = _os.environ.get("MK_SKIP_DENSE_BOUNCE") == "1"
 # planned walk's early exit.  MK_EMIT_FLAT / MK_STAGED_FLAT = 0/1
 # force either choice; MK_FLAT_MAX_BLOCKS moves the crossover.
 _FLAT_MAX_BLOCKS = int(_os.environ.get("MK_FLAT_MAX_BLOCKS", "96"))
+# read ONCE at import (like every MK_* knob): an env read at trace time
+# would be captured by the first trace and silently masked by the jit
+# cache thereafter — bisections set these per process
+_EMIT_FLAT_ENV = _os.environ.get("MK_EMIT_FLAT", "")
+_STAGED_FLAT_ENV = _os.environ.get("MK_STAGED_FLAT", "")
 
 
-def _flat_choice(env_name, num_blocks):
-    v = _os.environ.get(env_name, "")
-    if v in ("0", "1"):
-        return v == "1"
+def _flat_choice(env_value, num_blocks):
+    if env_value in ("0", "1"):
+        return env_value == "1"
     return num_blocks <= _FLAT_MAX_BLOCKS
 
 
 def emit_flat(num_blocks: int) -> bool:
-    return _flat_choice("MK_EMIT_FLAT", num_blocks)
+    return _flat_choice(_EMIT_FLAT_ENV, num_blocks)
 
 
 def staged_flat(num_blocks: int) -> bool:
-    return _flat_choice("MK_STAGED_FLAT", num_blocks)
+    return _flat_choice(_STAGED_FLAT_ENV, num_blocks)
 
 # Visit-body branch experiment: MK_NO_WHEN=1 runs the winner-update
 # body of every dense visit UNCONDITIONALLY (every write in it is
@@ -363,7 +367,7 @@ def _shading_normal(dialect, d_vec, nrm, u, v):
 def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
                    tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
                    order_ref, entry_ref,
-                   t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+                   t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
                    chunk=0, col_scr=None, dialect="gpu", qsel_ref=None,
                    mm_f32_dot=False):
     rt = t_col.shape[0]
@@ -389,11 +393,18 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
         t_col[:] = jnp.full((rt, 1), F32_MAX, jnp.float32)
         idx_col[:] = jnp.full((rt, 1), -1, jnp.int32)
         t_lane[:] = jnp.full((1, rt), F32_MAX, jnp.float32)
+        blk_win[:] = jnp.full((1, rt), int_max, jnp.int32)
         nx_l[:] = jnp.zeros((1, rt), jnp.float32)
         ny_l[:] = jnp.zeros((1, rt), jnp.float32)
         nz_l[:] = jnp.ones((1, rt), jnp.float32)
         obj_l[:] = jnp.zeros((1, rt), jnp.int32)
         chunked = chunk and not use_plan
+        if chunked and jnp.ndim(o_sc[0]) == 0:
+            # chunked visits slice (RT, 1) origin columns; expand a
+            # shared scalar origin (flat-scan camera pass) from the
+            # lane copy.  Dead lanes' parked origins only affect their
+            # own discarded winner state (alive masks gate all reads).
+            o_sc = (_to_col(o_l[0]), _to_col(o_l[1]), _to_col(o_l[2]))
         if chunked:
             nx_c[:] = jnp.zeros((rt, 1), jnp.float32)
             ny_c[:] = jnp.zeros((rt, 1), jnp.float32)
@@ -438,96 +449,14 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
                 idx_col[:] = jnp.where(take, best_id, old_idx)
                 t_lane[:] = _to_lane(new_t)
                 take_l = _to_lane(jnp.where(take, 1.0, 0.0)) > 0.0
-                pick = at_min & (id_key == best_id)
-
-                if qsel_ref is not None:
-                    # MXU winner-attribute selection: one one-hot
-                    # (RT, B) x (B, 128) bf16 matmul selects every
-                    # winner attribute at once (bit-exact 3-part
-                    # reconstruction; see _build_qsel), then u/v and
-                    # the shading normal are recomputed per lane with
-                    # EXACTLY _mt_block's / _interp_normal's op order
-                    # on the selected values — identical bits to the
-                    # dense-then-select form.
-                    qb = qsel_ref[pl.ds(b * bsize, bsize), :]
-                    if mm_f32_dot:
-                        # interpret mode: XLA:CPU lacks bf16xbf16->f32
-                        # dots; the f32 dot of the SAME part values is
-                        # bit-identical (one-hot selection is exact in
-                        # either dot type)
-                        mm = jnp.dot(jnp.where(pick, 1.0, 0.0),
-                                     qb.astype(jnp.float32),
-                                     preferred_element_type=jnp.float32)
-                    else:
-                        pick_bf = jnp.where(pick, 1.0, 0.0).astype(
-                            jnp.bfloat16)
-                        mm = jnp.dot(pick_bf, qb,
-                                     preferred_element_type=jnp.float32)
-                    outt = mm.T  # (128, RT) — attrs land lane-major
-                    attr = lambda f: (outt[f:f + 1, :]
-                                      + outt[32 + f:33 + f, :]
-                                      + outt[64 + f:65 + f, :])
-                    v0x, v0y, v0z = attr(0), attr(1), attr(2)
-                    e1x, e1y, e1z = attr(3), attr(4), attr(5)
-                    e2x, e2y, e2z = attr(6), attr(7), attr(8)
-                    dx, dy, dz = d_l
-                    ox = o_l[0]
-                    oy = o_l[1]
-                    oz = o_l[2]
-                    # _mt_block's exact sequence on the winner values
-                    pvx = dy * e2z - dz * e2y
-                    pvy = dz * e2x - dx * e2z
-                    pvz = dx * e2y - dy * e2x
-                    det = e1x * pvx + e1y * pvy + e1z * pvz
-                    inv_det = 1.0 / jnp.where(
-                        jnp.abs(det) < det_eps, 1.0, det)
-                    tvx = ox - v0x
-                    tvy = oy - v0y
-                    tvz = oz - v0z
-                    u_w = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                    qvx = tvy * e1z - tvz * e1y
-                    qvy = tvz * e1x - tvx * e1z
-                    qvz = tvx * e1y - tvy * e1x
-                    v_w = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-                    sn_w = _interp_normal(
-                        tuple(attr(9 + k_) for k_ in range(9)), u_w, v_w)
-                    g_w = (attr(18), attr(19), attr(20))
-                    snx, sny, snz = _finish_shading_normal(
-                        dialect, d_l, sn_w, g_w)
-                    nx_l[:] = jnp.where(take_l, snx, nx_l[:])
-                    ny_l[:] = jnp.where(take_l, sny, ny_l[:])
-                    nz_l[:] = jnp.where(take_l, snz, nz_l[:])
-                    obj_l[:] = jnp.where(
-                        take_l, attr(21).astype(jnp.int32), obj_l[:])
-                    return
-
-                # VPU fallback (scenes whose qsel would not fit VMEM):
-                # interpolate the vertex normal densely (the one
-                # per-(ray, tri) quantity), then SELECT the winner's
-                # raw interpolation + geometric normal and finish
-                # (normalize/sidedness/flip) on (RT, 1) columns.
-                # Bit-identical to finishing densely and selecting last
-                # (same values, same op order on the winner).
-                nrm = tuple(
-                    norm_ref[pl.ds(k_ * num_blocks + b, 1), :]
-                    for k_ in range(12)
-                )
-                rnx, rny, rnz = _interp_normal(nrm, u, v)
-                sel = lambda q: jnp.sum(
-                    jnp.where(pick, q, 0.0), axis=1, keepdims=True
-                )
-                sn_w = (sel(rnx), sel(rny), sel(rnz))
-                g_w = (sel(nrm[9]), sel(nrm[10]), sel(nrm[11]))
-                snx, sny, snz = _finish_shading_normal(
-                    dialect, (dx_c, dy_c, dz_c), sn_w, g_w)
-                nx_l[:] = jnp.where(take_l, _to_lane(snx), nx_l[:])
-                ny_l[:] = jnp.where(take_l, _to_lane(sny), ny_l[:])
-                nz_l[:] = jnp.where(take_l, _to_lane(snz), nz_l[:])
-                objs = obj_ref[pl.ds(b, 1), :]  # (1, B) int32
-                sel_obj = jnp.sum(
-                    jnp.where(pick, objs, 0), axis=1, keepdims=True
-                )
-                obj_l[:] = jnp.where(take_l, _to_lane(sel_obj), obj_l[:])
+                # attrs are DEFERRED: record only the winner's block;
+                # the resolve pass after the walk rebuilds pick from
+                # the (unique) global triangle ids and computes the
+                # attributes once per DISTINCT winner block (~5/tile)
+                # instead of per improving visit (~20/tile).  Attrs
+                # are consumed only after traverse returns, so this is
+                # bit-exact by construction.
+                blk_win[:] = jnp.where(take_l, b, blk_win[:])
 
             if _NO_WHEN:
                 _take_body()
@@ -718,6 +647,86 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
                 return k + 1, jnp.where(lane_ids == b, jnp.inf, e_vec)
 
             jax.lax.while_loop(o_cond, o_body, (jnp.int32(0), e_vec0))
+
+        # --- deferred winner-attribute resolution ---
+        # One pass per DISTINCT winner block (typically ~5 against ~20
+        # improving visits): rebuild the one-hot pick from the winner's
+        # global triangle id (ids are unique; -1 no-hit lanes are
+        # excluded), select the 22 attributes (MXU matmul, or masked
+        # reductions for scenes without a qsel matrix), and run the
+        # u/v + shading-normal chain with _mt_block's exact op order —
+        # identical bits to resolving inside the winning visit, since
+        # attributes are only consumed after traverse returns.  The
+        # chunked path accumulates its own attrs; debug-skip modes
+        # leave blk_win at int_max so the loop no-ops.
+        if not chunked:
+            def r_cond(c):
+                k, bw = c
+                return (k < num_blocks) & (jnp.min(bw) < int_max)
+
+            def r_body(c):
+                k, bw = c
+                b = jnp.min(bw)
+                mask = blk_win[:] == b
+                idxc = idx_col[:]
+                ids = ids_ref[pl.ds(b, 1), :]
+                pick = (ids == idxc) & (idxc >= 0)
+                if qsel_ref is not None:
+                    qb = qsel_ref[pl.ds(b * bsize, bsize), :]
+                    if mm_f32_dot:
+                        mm = jnp.dot(jnp.where(pick, 1.0, 0.0),
+                                     qb.astype(jnp.float32),
+                                     preferred_element_type=jnp.float32)
+                    else:
+                        mm = jnp.dot(
+                            jnp.where(pick, 1.0, 0.0).astype(jnp.bfloat16),
+                            qb, preferred_element_type=jnp.float32)
+                    outt = mm.T  # (128, RT) — attrs land lane-major
+                    attr = lambda f: (outt[f:f + 1, :]
+                                      + outt[32 + f:33 + f, :]
+                                      + outt[64 + f:65 + f, :])
+                    a = [attr(f) for f in range(21)]
+                    obj_w = attr(21).astype(jnp.int32)
+                else:
+                    planes = [tri_ref[pl.ds(k_ * num_blocks + b, 1), :]
+                              for k_ in range(9)]
+                    planes += [norm_ref[pl.ds(k_ * num_blocks + b, 1), :]
+                               for k_ in range(12)]
+                    selc = lambda q: _to_lane(jnp.sum(
+                        jnp.where(pick, q, 0.0), axis=1, keepdims=True))
+                    a = [selc(q) for q in planes]
+                    objs = obj_ref[pl.ds(b, 1), :]
+                    obj_w = _to_lane(jnp.sum(
+                        jnp.where(pick, objs, 0), axis=1, keepdims=True))
+                v0x, v0y, v0z = a[0], a[1], a[2]
+                e1x, e1y, e1z = a[3], a[4], a[5]
+                e2x, e2y, e2z = a[6], a[7], a[8]
+                dx, dy, dz = d_l
+                ox, oy, oz = o_l
+                # _mt_block's exact sequence on the winner values
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                inv_det = 1.0 / jnp.where(jnp.abs(det) < det_eps, 1.0, det)
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                u_w = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v_w = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                sn_w = _interp_normal(tuple(a[9:18]), u_w, v_w)
+                snx, sny, snz = _finish_shading_normal(
+                    dialect, d_l, sn_w, (a[18], a[19], a[20]))
+                nx_l[:] = jnp.where(mask, snx, nx_l[:])
+                ny_l[:] = jnp.where(mask, sny, ny_l[:])
+                nz_l[:] = jnp.where(mask, snz, nz_l[:])
+                obj_l[:] = jnp.where(mask, obj_w, obj_l[:])
+                return k + 1, jnp.where(mask, int_max, bw)
+
+            jax.lax.while_loop(r_cond, r_body, (jnp.int32(0), blk_win[:]))
 
     return traverse
 
@@ -1305,11 +1314,11 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
     spos_scr = None
     cpuonly = dialect == "cpuonly"
     if terminal:
-        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
          acc_r, acc_g, acc_b, blk_lane) = rest
         chunk = 0
     elif chunk:
-        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
          acc_r, acc_g, acc_b, blk_lane,
          tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
          bo_x, bo_y, bo_z, bd_x, bd_y, bd_z,
@@ -1317,7 +1326,7 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
          nx_c, ny_c, nz_c, obj_c) = rest
         col_scr = (nx_c, ny_c, nz_c, obj_c)
     elif cpuonly:
-        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
          acc_r, acc_g, acc_b, blk_lane,
          tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
          bo_x, bo_y, bo_z, bd_x, bd_y, bd_z,
@@ -1325,7 +1334,7 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
          sp_x, sp_y, sp_z, unocc) = rest
         spos_scr = (sp_x, sp_y, sp_z, unocc)
     else:
-        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
          acc_r, acc_g, acc_b, blk_lane,
          tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
          bo_x, bo_y, bo_z, bd_x, bd_y, bd_z,
@@ -1377,7 +1386,7 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
         det_eps, tmin, num_blocks, num_supers, row,
         tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
         order_ref, entry_ref,
-        t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+        t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
         chunk=chunk, col_scr=col_scr, dialect=dialect,
         qsel_ref=qsel_ref if mm_attrs else None,
         mm_f32_dot=mm_attrs == 2,
@@ -1481,6 +1490,17 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
 
 
 _QSEL_F = 22  # qsel features: tri v0/e1/e2 (9) | vn n0/n1/n2 (9) | g (3) | obj (1)
+
+
+def mm_attrs_mode(grid, interpret: bool) -> int:
+    """Static MXU-selection mode for a kernel build: 0 = off (VPU
+    select fallback), 1 = bf16 dot (TPU), 2 = f32 dot of the same parts
+    (interpret mode; XLA:CPU lacks bf16 dots).  ONE definition shared
+    by every pallas_call site so emit/resume/bounce kernels can never
+    compile mismatched selection paths."""
+    if not mm_attrs_for(grid):
+        return 0
+    return 2 if interpret else 1
 
 
 def mm_attrs_for(grid) -> bool:
@@ -1661,6 +1681,7 @@ def render_tiles(
         lane(),                                   # t_lane
         lane(), lane(), lane(),                   # normal
         pltpu.VMEM((1, RAY_TILE), jnp.int32),     # obj
+        pltpu.VMEM((1, RAY_TILE), jnp.int32),     # blk_win (deferred attrs)
         lane(), lane(), lane(),                   # accum rgb
         lane(),                                   # shadow blocked
     ]
@@ -1685,7 +1706,7 @@ def render_tiles(
                 max_depth, bool(scene.diffuse_bounce), terminal,
                 int(chunk) if not terminal else 0,
                 dialect, jitter, int(shadow_samples),
-                l, ls, n_lights, n_objects, (2 if interpret else 1) if mm_attrs_for(grid) else 0),
+                l, ls, n_lights, n_objects, mm_attrs_mode(grid, interpret)),
         out_shape=[jax.ShapeDtypeStruct((nt, RAY_TILE), jnp.float32)] * 3,
         grid_spec=pl.GridSpec(
             grid=(nt,),
@@ -1730,13 +1751,15 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
     cpuonly = dialect == "cpuonly"
     spos_scr = None
     if cpuonly:
-        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
+         blk_lane,
          tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
          bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z,
          sp_x, sp_y, sp_z, unocc) = scratch
         spos_scr = (sp_x, sp_y, sp_z, unocc)
     else:
-        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
+         blk_lane,
          tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
          bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z) = scratch
     rt = t_col.shape[0]
@@ -1784,7 +1807,7 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
         det_eps, tmin, num_blocks, num_supers, row,
         tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
         order_ref, entry_ref,
-        t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+        t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
         dialect=dialect, qsel_ref=qsel_ref if mm_attrs else None,
         mm_f32_dot=mm_attrs == 2,
     )
@@ -1844,13 +1867,15 @@ def _resume_kernel(det_eps, tmin, shadow_eps, shadow_tmin, max_depth,
     cpuonly = dialect == "cpuonly"
     spos_scr = None
     if cpuonly:
-        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
+         blk_lane,
          tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
          bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z,
          sp_x, sp_y, sp_z, unocc) = scratch
         spos_scr = (sp_x, sp_y, sp_z, unocc)
     else:
-        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
+         blk_lane,
          tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
          bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z) = scratch
     rt = t_col.shape[0]
@@ -1867,7 +1892,7 @@ def _resume_kernel(det_eps, tmin, shadow_eps, shadow_tmin, max_depth,
         det_eps, tmin, num_blocks, num_supers, row,
         tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
         order_ref, entry_ref,
-        t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+        t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
         dialect=dialect, qsel_ref=qsel_ref if mm_attrs else None,
         mm_f32_dot=mm_attrs == 2,
     )
@@ -1914,6 +1939,7 @@ def _bounce_scratch(cpuonly: bool = False):
          pltpu.VMEM((RAY_TILE, 1), jnp.int32),     # idx_col
          lane(), lane(), lane(), lane(),           # t_lane, normal xyz
          pltpu.VMEM((1, RAY_TILE), jnp.int32),     # obj
+         pltpu.VMEM((1, RAY_TILE), jnp.int32),     # blk_win (deferred attrs)
          lane()]                                   # shadow blocked
         + [lane() for _ in range(6)]               # tp rgb, rd rgb
         + [pltpu.VMEM((1, RAY_TILE), jnp.int32), lane()]  # rng, alive
@@ -1989,7 +2015,7 @@ def emit_tiles(
         partial(_emit_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
                 bool(scene.diffuse_bounce),
                 dialect, jitter, int(shadow_samples),
-                l, ls, n_lights, n_objects, (2 if interpret else 1) if mm_attrs_for(grid) else 0),
+                l, ls, n_lights, n_objects, mm_attrs_mode(grid, interpret)),
         out_shape=[
             jax.ShapeDtypeStruct((nt * _ST_ROWS, RAY_TILE), jnp.float32),
             jax.ShapeDtypeStruct((nt * 8, RAY_TILE), jnp.int32),
@@ -2060,7 +2086,7 @@ def resume_tiles(
         partial(_resume_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
                 int(scene.max_bounces), bool(scene.diffuse_bounce),
                 dialect, int(shadow_samples),
-                l, 128, n_lights, n_objects, (2 if interpret else 1) if mm_attrs_for(grid) else 0),
+                l, 128, n_lights, n_objects, mm_attrs_mode(grid, interpret)),
         out_shape=[jax.ShapeDtypeStruct((nt, RAY_TILE), jnp.float32)] * 3,
         grid_spec=pl.GridSpec(
             grid=(nt,),
@@ -2092,13 +2118,15 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
     cpuonly = dialect == "cpuonly"
     spos_scr = None
     if cpuonly:
-        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
+         blk_lane,
          tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
          bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z,
          sp_x, sp_y, sp_z, unocc) = scratch
         spos_scr = (sp_x, sp_y, sp_z, unocc)
     else:
-        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
+         blk_lane,
          tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
          bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z) = scratch
     rt = t_col.shape[0]
@@ -2115,7 +2143,7 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
         det_eps, tmin, num_blocks, num_supers, row,
         tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
         order_ref, entry_ref,
-        t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l,
+        t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
         dialect=dialect, qsel_ref=qsel_ref if mm_attrs else None,
         mm_f32_dot=mm_attrs == 2,
     )
@@ -2200,7 +2228,7 @@ def bounce_step_tiles(
     st, rng = pl.pallas_call(
         partial(_bounce_step_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
                 bool(scene.diffuse_bounce), dialect, int(shadow_samples),
-                l, ls, n_lights, n_objects, (2 if interpret else 1) if mm_attrs_for(grid) else 0),
+                l, ls, n_lights, n_objects, mm_attrs_mode(grid, interpret)),
         out_shape=[
             jax.ShapeDtypeStruct((nt * _ST_ROWS, RAY_TILE), jnp.float32),
             jax.ShapeDtypeStruct((nt * 8, RAY_TILE), jnp.int32),

@@ -165,8 +165,13 @@ def render_scene_sharded(
         and megakernel_eligible(scene, jitter_mode)
     ):
         # RT_WAVEFRONT is read here, outside jit, so toggling it is
-        # never masked by the trace cache
-        wavefront = os.environ.get("RT_WAVEFRONT", "0") == "1"
+        # never masked by the trace cache.  Unlike the single-chip
+        # driver, "auto" resolves to the monolithic megakernel: the
+        # staged (capacity-calibrated) scheduler is not yet plumbed
+        # through shard_map, and the un-staged single-sort wavefront is
+        # slower than monolithic — only an explicit RT_WAVEFRONT=1
+        # forces it per shard.
+        wavefront = os.environ.get("RT_WAVEFRONT", "auto") == "1"
         return _render_sharded_fast(scene, mesh, spp, wavefront, jitter_mode)
 
     return _render_sharded_staged(

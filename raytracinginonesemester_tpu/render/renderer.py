@@ -207,8 +207,10 @@ def render_scene(
     """
     # RT_WAVEFRONT is read here, OUTSIDE the jitted body, and passed as
     # a static arg — an env read inside the traced function would be
-    # captured at first trace and masked by the jit cache thereafter
-    # (the sharded driver does the same; parallel/sharded.py).
+    # captured at first trace and masked by the jit cache thereafter.
+    # (The sharded driver also reads it outside jit, but resolves
+    # "auto" to the monolithic kernel until the staged scheduler is
+    # plumbed through shard_map; parallel/sharded.py.)
     # Default "auto": the staged wavefront scheduler is the production
     # path for eligible bouncing scenes (measured 189.8 -> 138.4 ms on
     # the frog 1080p depth-8 workload); "0" forces the monolithic
@@ -224,12 +226,25 @@ def render_scene(
     wavefront_cap = None
     cap_env = os.environ.get("RT_WAVEFRONT_CAP", "auto")
     if wavefront and cap_env:
-        if cap_env == "auto":
-            from ..ops.megakernel import megakernel_kwargs
+        from ..ops.megakernel import megakernel_eligible, megakernel_kwargs
+
+        spp_eff = spp_override if spp_override is not None else scene.spp
+        jm = resolve_jitter_mode(scene, jitter_mode, spp_eff)
+        use_pallas = scene.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        # gate the calibration on EXACTLY the conditions under which
+        # _render_scene_jit would take the wavefront path — otherwise
+        # the calibration emit dispatch is wasted work for scenes that
+        # render via the staged/XLA fallback, and can even fail for
+        # scenes whose planes exceed the kernel VMEM budget
+        eligible = (use_pallas and megakernel_eligible(scene, jm)
+                    and bool(scene.diffuse_bounce or not scene.terminal_only))
+        if not eligible:
+            wavefront = False
+        elif cap_env == "auto":
             from ..ops.wavefront import auto_capacity_tiles
 
-            spp_eff = spp_override if spp_override is not None else scene.spp
-            jm = resolve_jitter_mode(scene, jitter_mode, spp_eff)
             mk_kw = megakernel_kwargs(scene, jm)
             mk_kw.setdefault("jitter", jm if jm != "reference_cpu" else "wang")
             wavefront_cap = auto_capacity_tiles(
