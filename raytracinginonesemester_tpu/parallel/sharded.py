@@ -83,9 +83,11 @@ def shard_scene_blocks(scene: Scene, num_shards: int) -> Scene:
     return dataclasses.replace(scene, accel=grid)
 
 
-@partial(jax.jit, static_argnames=("mesh", "spp", "wavefront", "jitter_mode"))
+@partial(jax.jit, static_argnames=("mesh", "spp", "wavefront", "jitter_mode",
+                                   "wavefront_cap"))
 def _render_sharded_fast(scene: Scene, mesh: Mesh, spp: int,
-                         wavefront: bool, jitter_mode: str) -> Array:
+                         wavefront: bool, jitter_mode: str,
+                         wavefront_cap: Optional[int] = None) -> Array:
     """DP-shard the swizzled tile stream and run the single-chip fast
     path (megakernel, or sort-compacted wavefront when enabled) on each
     shard.  Bit-identical to any other sharding by per-pixel seeding."""
@@ -110,7 +112,8 @@ def _render_sharded_fast(scene: Scene, mesh: Mesh, spp: int,
         from ..ops.wavefront import render_tiles_wavefront
 
         def fast_fn(s, x, y):
-            return render_tiles_wavefront(s, x, y, spp, **mk_kw)
+            return render_tiles_wavefront(
+                s, x, y, spp, capacity_tiles=wavefront_cap, **mk_kw)
     else:
         def fast_fn(s, x, y):
             return render_tiles(s, x, y, spp, **mk_kw)
@@ -165,14 +168,40 @@ def render_scene_sharded(
         and megakernel_eligible(scene, jitter_mode)
     ):
         # RT_WAVEFRONT is read here, outside jit, so toggling it is
-        # never masked by the trace cache.  Unlike the single-chip
-        # driver, "auto" resolves to the monolithic megakernel: the
-        # staged (capacity-calibrated) scheduler is not yet plumbed
-        # through shard_map, and the un-staged single-sort wavefront is
-        # slower than monolithic — only an explicit RT_WAVEFRONT=1
-        # forces it per shard.
-        wavefront = os.environ.get("RT_WAVEFRONT", "auto") == "1"
-        return _render_sharded_fast(scene, mesh, spp, wavefront, jitter_mode)
+        # never masked by the trace cache.  Semantics match the
+        # single-chip driver: "auto"/1 route bouncing scenes to the
+        # staged wavefront scheduler; the per-shard capacity comes from
+        # the full-frame calibration divided across the data shards
+        # (alive tiles spread ~uniformly over the interleaved pixel
+        # shards; a shard that overflows falls back in-graph).
+        wf_env = os.environ.get("RT_WAVEFRONT", "auto")
+        wavefront = wf_env in ("1", "auto")
+        wavefront_cap = None
+        bouncing = bool(scene.diffuse_bounce) or not scene.terminal_only
+        cap_env = os.environ.get("RT_WAVEFRONT_CAP", "auto")
+        if wavefront and bouncing and cap_env:
+            if cap_env == "auto":
+                from ..ops.megakernel import megakernel_kwargs
+                from ..ops.wavefront import auto_capacity_tiles
+
+                mk_kw = megakernel_kwargs(scene, jitter_mode)
+                mk_kw.setdefault(
+                    "jitter",
+                    jitter_mode if jitter_mode != "reference_cpu" else "wang")
+                full = auto_capacity_tiles(
+                    scene, interpret=jax.default_backend() != "tpu", **mk_kw)
+                if full is not None:
+                    per = -(-full // mesh.shape["data"])
+                    cap = 8
+                    while cap < per:
+                        cap *= 2
+                    wavefront_cap = cap
+            else:
+                wavefront_cap = int(cap_env)
+        if wf_env == "auto" and wavefront_cap is None:
+            wavefront = False  # monolithic beats un-staged wavefront
+        return _render_sharded_fast(scene, mesh, spp, wavefront,
+                                    jitter_mode, wavefront_cap)
 
     return _render_sharded_staged(
         scene, mesh, jitter_mode, ray_tile, spp, model_axis)
