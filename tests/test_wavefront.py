@@ -197,3 +197,35 @@ def test_wavefront_spp_scan_branch_bit_identical():
     b = np.asarray(
         render_tiles_wavefront(scene, xs, ys, 5, interpret=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_capacity_calibration_gated_on_eligibility():
+    """The default-dispatch auto calibration must not run (and populate
+    its cache) for scenes that cannot take the wavefront fast path —
+    e.g. use_pallas=False, where the calibration emit would be pure
+    wasted work (review finding, round 2)."""
+    from raytracinginonesemester_tpu.ops import wavefront as wf
+    from raytracinginonesemester_tpu.render.renderer import render_scene
+
+    scene = _two_frog_scene(width=32, height=32, diffuse_bounce=True,
+                            max_bounces=2)
+    scene = dataclasses.replace(scene, terminal_only=False,
+                                use_pallas=False)
+    saved = dict(wf._CAP_CACHE)
+    wf._CAP_CACHE.clear()
+    try:
+        render_scene(scene)
+        assert wf._CAP_CACHE == {}, (
+            "calibration ran for a non-pallas scene")
+    finally:
+        wf._CAP_CACHE.update(saved)
+
+
+def test_auto_capacity_none_without_accel():
+    """Accel-less (brute-force differentiable) scenes cannot stage."""
+    from raytracinginonesemester_tpu.ops.wavefront import auto_capacity_tiles
+
+    scene = _two_frog_scene(width=32, height=32, diffuse_bounce=True,
+                            max_bounces=2)
+    scene = dataclasses.replace(scene, accel=None)
+    assert auto_capacity_tiles(scene) is None
