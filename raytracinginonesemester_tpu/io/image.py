@@ -51,10 +51,20 @@ def quantize(image: np.ndarray, mode: str = "cpuonly") -> np.ndarray:
 
 
 def write_png(path: str, image: np.ndarray, mode: str = "cpuonly") -> None:
-    """Write a linear float (H, W, 3) image as PNG (stb_image_write analog)."""
+    """Write a linear float (H, W, 3) image as PNG (stb_image_write analog).
+
+    Encoding goes through the native C writer (``io.fast_image``, the
+    analog of the reference's vendored stb) when a compiler is
+    available, else Pillow — decoded pixels are byte-identical either
+    way (quantization happens here in Python in both cases).
+    """
+    data = image if image.dtype == np.uint8 else quantize(image, mode)
+    from .fast_image import write_png_native
+
+    if write_png_native(path, data):
+        return
     from PIL import Image
 
-    data = image if image.dtype == np.uint8 else quantize(image, mode)
     Image.fromarray(data, mode="RGB").save(path)
 
 

@@ -184,3 +184,33 @@ def test_fast_loader_matches_python(sphere_mesh_path, frog_mesh_path, tmp_path):
         np.testing.assert_array_equal(a.triangle_obj_ids, b.triangle_obj_ids, err_msg=path)
         if a.normals is not None:
             np.testing.assert_array_equal(a.normals, b.normals, err_msg=path)
+
+
+def test_native_png_writer_roundtrip(tmp_path):
+    """The native C PNG writer (io.fast_image, the stb_image_write
+    analog) must decode byte-identical to the Pillow encoder."""
+    import numpy as np
+    from raytracinginonesemester_tpu.io.fast_image import (
+        native_available, write_png_native)
+    from raytracinginonesemester_tpu.io.image import read_png, write_png
+
+    assert native_available(), "C compiler expected in this environment"
+    rs = np.random.RandomState(0)
+    for shape in ((7, 5, 3), (180, 320, 3), (64, 64, 3)):
+        data = rs.randint(0, 256, shape, dtype=np.uint8)
+        p_native = str(tmp_path / "n.png")
+        p_pil = str(tmp_path / "p.png")
+        assert write_png_native(p_native, data)
+        from PIL import Image
+
+        Image.fromarray(data, mode="RGB").save(p_pil)
+        np.testing.assert_array_equal(read_png(p_native), data)
+        np.testing.assert_array_equal(read_png(p_native), read_png(p_pil))
+    # the public write_png routes through the native writer and must
+    # stay decode-identical for float input too
+    img = rs.uniform(0, 1.2, (33, 47, 3)).astype(np.float32)
+    p = str(tmp_path / "f.png")
+    write_png(p, img, mode="gpu")
+    from raytracinginonesemester_tpu.io.image import quantize
+
+    np.testing.assert_array_equal(read_png(p), quantize(img, "gpu"))
