@@ -267,38 +267,82 @@ def render_tiles_wavefront(
         return r2, g2, b2
 
     def _staged_loop(h_st, h_rng, h_pix, cap):
-        """The per-bounce plan + kernel + re-sort loop on packed tiles;
-        radiance rides in the state's rd rows."""
+        """Per-bounce kernel + re-sort on packed tiles with a SHRINKING
+        capacity ladder; radiance rides in the state's rd rows.
+
+        The alive wavefront collapses fast after the first bounce
+        (frog: 131 alive tiles -> 14 -> 3 -> ...), so bounce 1 runs at
+        the full capacity and bounces 2+ on the re-sorted alive PREFIX
+        at cap/8 — kernels and re-sorts shrink with the wavefront.  If
+        bounce 1 leaves more alive tiles than the small capacity (a
+        scene with little decay), a ``lax.cond`` keeps the full width;
+        either way the dead suffix rides through unchanged, so output
+        is identical.
+        """
         from .megakernel import staged_flat
 
         # the flat-scan bounce kernel never reads the plan (see
         # megakernel traversal-order notes); hand it zeros instead of
         # building the hull/slab/argsort plan every bounce
         flat = staged_flat(grid.num_blocks)
-        if flat:
-            ls = -(-grid.num_blocks // 8)  # accel.SUPER
-            cap8 = -(-cap // 8) * 8
-            zero_plan = (jnp.zeros((cap8, ls), jnp.int32),
-                         jnp.zeros((cap8, ls), jnp.float32))
+        ls = -(-grid.num_blocks // 8)  # accel.SUPER
 
-        def cond(c):
-            d, h_st, _, _ = c
-            a = h_st.reshape(cap, _ST_ROWS, RAY_TILE)[:, _ST_ALIVE_ROW]
-            return (d < mb) & jnp.any(a > 0.0)
-
-        def body(c):
-            d, h_st, h_rng, h_pix = c
-            order, entry = (zero_plan if flat
-                            else bounce_tile_plan(h_st, grid))
+        def one_bounce(h_st, h_rng, h_pix, c):
+            if flat:
+                c8 = -(-c // 8) * 8
+                order = jnp.zeros((c8, ls), jnp.int32)
+                entry = jnp.zeros((c8, ls), jnp.float32)
+            else:
+                order, entry = bounce_tile_plan(h_st, grid)
             h_st, h_rng = bounce_step_tiles(scene, h_st, h_rng,
                                             order, entry, **kw)
-            h_st, h_rng, h_pix = sort_bounce_state(
-                h_st, h_rng, h_pix, lo, span)
-            return d + 1, h_st, h_rng, h_pix
+            return sort_bounce_state(h_st, h_rng, h_pix, lo, span)
 
-        _, h_st, _, h_pix = jax.lax.while_loop(
-            cond, body, (jnp.int32(1), h_st, h_rng, h_pix))
-        return h_st, h_pix
+        def while_bounces(h_st, h_rng, h_pix, c, d0):
+            def cond(carry):
+                d, st, _, _ = carry
+                a = st.reshape(c, _ST_ROWS, RAY_TILE)[:, _ST_ALIVE_ROW]
+                return (d < mb) & jnp.any(a > 0.0)
+
+            def body(carry):
+                d, st, rng, pix_ = carry
+                st, rng, pix_ = one_bounce(st, rng, pix_, c)
+                return d + 1, st, rng, pix_
+
+            _, h_st, _, h_pix = jax.lax.while_loop(
+                cond, body, (jnp.int32(d0), h_st, h_rng, h_pix))
+            return h_st, h_pix
+
+        cap2 = max(8, cap // 8)
+        if mb <= 2 or cap2 >= cap:
+            return while_bounces(h_st, h_rng, h_pix, cap, 1)
+
+        # bounce depth 1 at the full capacity (guarded: the gathered
+        # wavefront can be entirely dead)
+        a0 = h_st.reshape(cap, _ST_ROWS, RAY_TILE)[:, _ST_ALIVE_ROW]
+        h_st, h_rng, h_pix = jax.lax.cond(
+            jnp.any(a0 > 0.0),
+            lambda op: one_bounce(*op, cap),
+            lambda op: op,
+            (h_st, h_rng, h_pix))
+
+        stv = h_st.reshape(cap, _ST_ROWS, RAY_TILE)
+        overflow2 = jnp.any(stv[cap2:, _ST_ALIVE_ROW] > 0.0)
+
+        def full_width(op):
+            h_st, h_rng, h_pix = op
+            return while_bounces(h_st, h_rng, h_pix, cap, 2)
+
+        def small_width(op):
+            h_st, h_rng, h_pix = op
+            p_st, p_pix = while_bounces(
+                h_st[:cap2 * _ST_ROWS], h_rng[:cap2 * 8],
+                h_pix[:cap2 * RAY_TILE], cap2, 2)
+            return (jnp.concatenate([p_st, h_st[cap2 * _ST_ROWS:]]),
+                    jnp.concatenate([p_pix, h_pix[cap2 * RAY_TILE:]]))
+
+        return jax.lax.cond(overflow2, full_width, small_width,
+                            (h_st, h_rng, h_pix))
 
     def one_sample(s):
         st, rng = emit_tiles(scene, xs_p, ys_p, s, jitter=jitter,
