@@ -1411,8 +1411,8 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
             d_l, _h = primary_ray(s)
             d_c = (_to_col(d_l[0]), _to_col(d_l[1]), _to_col(d_l[2]))
             o_l = (cx, cy, cz)
-            traverse((cx, cy, cz), o_l, d_c, d_l, True,
-                     jnp.full((1, rt), True))
+            traverse((cx, cy, cz), o_l, d_c, d_l,
+                     not emit_flat(num_blocks), jnp.full((1, rt), True))
             (lo_r, lo_g, lo_b), hit_l, _p = shade(o_l, d_l)
             hit_f = jnp.where(hit_l, 1.0, 0.0)
             acc_r[:] = acc_r[:] + jnp.clip(
