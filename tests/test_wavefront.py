@@ -229,3 +229,34 @@ def test_auto_capacity_none_without_accel():
                             max_bounces=2)
     scene = dataclasses.replace(scene, accel=None)
     assert auto_capacity_tiles(scene) is None
+
+
+def test_planned_traversal_matches_flat():
+    """Scenes above MK_FLAT_MAX_BLOCKS keep the planned front-to-back
+    walk; it must stay bit-identical to the default flat scan (ties
+    break on (t, id), so visit order cannot matter).  Forced via the
+    import-time env mirrors since the test scenes are all below the
+    threshold; the jit caches must be cleared around the flip — the
+    traversal order is a trace-time choice outside the cache key."""
+    import jax
+
+    from raytracinginonesemester_tpu.ops import megakernel as mk
+
+    scene = _two_frog_scene(width=64, height=32, diffuse_bounce=True,
+                            max_bounces=3)
+    scene = dataclasses.replace(scene, terminal_only=False)
+    xs, ys, _ = _swizzled_grid(64, 32)
+    flat = np.asarray(
+        render_tiles_wavefront(scene, xs, ys, 1, interpret=True,
+                               capacity_tiles=8))
+    old = mk._EMIT_FLAT_ENV, mk._STAGED_FLAT_ENV
+    try:
+        mk._EMIT_FLAT_ENV, mk._STAGED_FLAT_ENV = "0", "0"
+        jax.clear_caches()
+        planned = np.asarray(
+            render_tiles_wavefront(scene, xs, ys, 1, interpret=True,
+                                   capacity_tiles=8))
+    finally:
+        mk._EMIT_FLAT_ENV, mk._STAGED_FLAT_ENV = old
+        jax.clear_caches()
+    np.testing.assert_array_equal(flat, planned)
