@@ -87,14 +87,32 @@ def apply_params(scene: Scene, params: Dict[str, Array]) -> Scene:
         if k.startswith("light_"):
             light_updates[k[len("light_"):]] = v
         elif k == "vertices":
-            if scene.accel is not None:
+            if scene.accel is not None and not scene.differentiable:
                 raise ValueError(
-                    "vertex parameters need accel='none': acceleration "
-                    "structures bake triangle copies at build time"
+                    "vertex parameters need accel='none' (or a scene "
+                    "built with differentiable=True, which rebuilds the "
+                    "grid): acceleration structures bake triangle "
+                    "copies at build time"
                 )
             scene_updates["geometry"] = dataclasses.replace(
                 scene.geometry, vertices=v
             )
+            if scene.accel is not None:
+                # detached-diff mode: rebuild the block grid from the
+                # new vertices so the (stop_gradient'ed) traversal sees
+                # current geometry; gradients flow through the
+                # integrator's differentiable winner recompute, never
+                # through the grid build
+                from ..ops.accel import build_block_grid
+
+                import jax.numpy as _jnp
+
+                scene_updates["accel"] = build_block_grid(
+                    v, _jnp.asarray(scene.geometry.num_triangles),
+                    block_size=scene.accel.block_size,
+                    normals=scene.geometry.normals,
+                    obj_ids=scene.geometry.obj_id,
+                )
         elif k == "camera_center":
             delta = v - scene.camera.center
             scene_updates["camera"] = dataclasses.replace(

@@ -27,7 +27,8 @@ from ..core import rng as rnglib
 from ..core.vecmath import reflect
 from ..scene.build import Scene
 from . import shading
-from .intersect import FLT_EPSILON, intersect_closest, make_hit_frame
+from .intersect import (FLT_EPSILON, HitData, intersect_closest,
+                        make_hit_frame, mt_single)
 
 __all__ = ["trace_rays"]
 
@@ -122,7 +123,10 @@ def trace_rays(
         # are bit-identical to a single-launch render (test_pallas.py)
         grid_chunks = num_chunks_for(scene.accel)
 
-    kernel_normals = scene.accel is not None and use_pallas and gpu
+    # detached-diff mode needs differentiable normals (make_hit_frame
+    # gathers), so the in-kernel normal/shadow fusion is disabled there
+    kernel_normals = (scene.accel is not None and use_pallas and gpu
+                      and not getattr(scene, "differentiable", False))
     # gpu lights are always point lights; under model sharding each shard
     # only sees its own blocks, so fused visibility would be partial —
     # fall back to the psum'd occlusion kernel there.  Chunked grids
@@ -220,6 +224,34 @@ def trace_rays(
         def occlude_fn(o, d, s_tmin, s_tmax):
             local = occlude_local(o, d, s_tmin, s_tmax)
             return jax.lax.psum(local.astype(jnp.int32), model_axis) > 0
+
+    if getattr(scene, "differentiable", False) and scene.accel is not None:
+        # Detached-traversal differentiable mode: the (dynamic-loop,
+        # non-differentiable) block/Pallas traversal runs entirely under
+        # stop_gradient to pick the winner triangle; a per-ray
+        # Moller-Trumbore on the gathered winner then carries gradients
+        # w.r.t. vertices/origins/directions, while the primal t/u/v
+        # pass through BIT-EXACTLY via a + (b - stop_gradient(b)).
+        # This is the standard detached estimator (the discrete
+        # which-triangle choice has zero gradient anyway away from
+        # silhouettes, exactly like the brute-force path's argmin).
+        sg = jax.lax.stop_gradient
+        inner_closest = closest_fn
+
+        def closest_fn(o, d):
+            hits, kn, kv = inner_closest(sg(o), sg(d))
+            hits = jax.tree.map(sg, hits)
+            idx = jnp.maximum(hits.tri_idx, 0)
+            tri = geom.vertices[idx]  # differentiable gather (R, 3, 3)
+            t2, u2, v2 = mt_single(o, d, tri, det_eps)
+            thru = lambda a, b: a + (b - sg(b))
+            hits = HitData(
+                t=thru(hits.t, t2), u=thru(hits.u, u2),
+                v=thru(hits.v, v2), tri_idx=hits.tri_idx, hit=hits.hit,
+            )
+            # kernel normals/visibility are non-differentiable; the
+            # dispatch below falls back to make_hit_frame for normals
+            return hits, None, None
 
     def bounce(carry, _):
         o, d, throughput, radiance, state, alive = carry

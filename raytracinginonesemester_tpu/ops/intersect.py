@@ -70,6 +70,27 @@ def chunk_tuv(o: Array, d: Array, tri: Array, det_eps: float):
     return t, u, v, jnp.abs(det) >= det_eps
 
 
+def mt_single(o: Array, d: Array, tri: Array, det_eps: float):
+    """Per-ray single-triangle Möller–Trumbore: o, d (R, 3) against ONE
+    paired triangle each, tri (R, 3, 3).  Returns (t, u, v) raw (no
+    acceptance test) — the differentiable recompute behind the
+    detached-traversal mode (``Scene.differentiable``): the winner
+    index comes from the fast non-differentiable traversal, this
+    carries the gradients."""
+    v0 = tri[:, 0]
+    e1 = tri[:, 1] - v0
+    e2 = tri[:, 2] - v0
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < det_eps, 1.0, det)
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    return t, u, v
+
+
 def _chunk_hits(o: Array, d: Array, tri: Array, det_eps: float):
     """Ray x triangle-chunk Möller–Trumbore with the hard inside test
     (u, v, u+v bounds, query.h:104-108).  Returns (t, u, v, valid)."""

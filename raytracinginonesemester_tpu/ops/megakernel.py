@@ -171,6 +171,9 @@ def megakernel_eligible(scene, jitter_mode: str) -> bool:
         scene.accel is None
         or int(scene.materials.kd.shape[0]) > MAX_OBJECTS
         or not fits_vmem(scene.accel)
+        # detached-diff scenes differentiate through the staged
+        # integrator; the fused kernels are not differentiable
+        or getattr(scene, "differentiable", False)
     ):
         return False
     if scene.dialect == "gpu":

@@ -112,6 +112,14 @@ class Scene:
     # megakernel path (ops.megakernel).  Computed from the concrete
     # config at build time because values are opaque under jit.
     terminal_only: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # detached-traversal differentiable mode: the block traversal runs
+    # under stop_gradient to pick the winner triangle, then a per-ray
+    # differentiable Moller-Trumbore on the gathered winner carries the
+    # gradients while the primal t/u/v pass through bit-exactly
+    # (ops.integrator).  Off by default: the recompute adds a per-ray
+    # HBM vertex gather per bounce, wasted work for forward-only renders.
+    differentiable: bool = dataclasses.field(default=False,
+                                             metadata=dict(static=True))
 
 
 def build_scene(config: SceneConfig, scene_path: str = ".", accel: str = "blocks") -> Scene:
