@@ -22,8 +22,16 @@ import time
 def _bench_backward(args):
     """Backward-pass throughput: one jitted value_and_grad step of the
     inverse-rendering pixel loss w.r.t. materials + light + vertices
-    (BASELINE config 4's workload, differentiable brute-force path) —
-    backward rays/s = W*H*spp / step_time."""
+    (BASELINE config 4's workload) — backward rays/s = W*H*spp /
+    step_time.
+
+    Default path: DETACHED-TRAVERSAL differentiable mode
+    (``Scene.differentiable``): the block/Pallas traversal picks winner
+    triangles under stop_gradient, and gradients flow through the
+    per-winner Moller-Trumbore recompute + shading — O(R) per bounce
+    instead of the brute intersector's O(R*T) scan.  ``--grad-brute``
+    keeps the reference estimator for comparison (identical gradients,
+    tests/test_diff.py)."""
     import dataclasses
     import os
 
@@ -42,7 +50,11 @@ def _bench_backward(args):
     scene_path = args.scene or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "tests/assets/scenes/gpu_spheres.json")
-    scene = rt.load_scene(scene_path, accel="none")
+    if args.grad_brute:
+        scene = rt.load_scene(scene_path, accel="none")
+    else:
+        scene = rt.load_scene(scene_path, accel="blocks")
+        scene = dataclasses.replace(scene, differentiable=True)
     cam = Camera.create(
         position=(0.0, -2.5, 1.2), look_at=(0.0, 0.0, 0.5), up=(0, 0, 1),
         focal_length_mm=24.0, width=w, height=h,
@@ -119,6 +131,10 @@ def main():
                     help="use the XLA block path instead of Pallas kernels")
     ap.add_argument("--save", type=str, default=None,
                     help="write the benchmark render to this PNG path")
+    ap.add_argument("--grad-brute", action="store_true",
+                    help="with --grad: use the brute-force O(R*T) "
+                    "differentiable intersector instead of the default "
+                    "detached-traversal accel mode")
     ap.add_argument("--grad", action="store_true",
                     help="benchmark the BACKWARD pass instead: one "
                     "value_and_grad step of the inverse-rendering loss "

@@ -107,12 +107,19 @@ def apply_params(scene: Scene, params: Dict[str, Array]) -> Scene:
 
                 import jax.numpy as _jnp
 
-                scene_updates["accel"] = build_block_grid(
+                grid = build_block_grid(
                     v, _jnp.asarray(scene.geometry.num_triangles),
                     block_size=scene.accel.block_size,
                     normals=scene.geometry.normals,
                     obj_ids=scene.geometry.obj_id,
                 )
+                # the grid only picks winner triangles (detached
+                # estimator); gradients flow through the integrator's
+                # differentiable winner recompute, so detach every leaf
+                # — otherwise grid tangents reach the non-differentiable
+                # pallas_call traversal and crash its missing JVP rule
+                scene_updates["accel"] = jax.tree.map(
+                    jax.lax.stop_gradient, grid)
         elif k == "camera_center":
             delta = v - scene.camera.center
             scene_updates["camera"] = dataclasses.replace(

@@ -32,16 +32,29 @@ def _build() -> Optional[ctypes.CDLL]:
     global _build_failed
     if (os.path.exists(_LIB_PATH)
             and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
-        return ctypes.CDLL(_LIB_PATH)
+        try:
+            return ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            pass  # corrupt/ABI-stale cache: fall through and rebuild
     for cc in ("cc", "gcc", "clang"):
+        # compile to a private temp file then os.replace (atomic on
+        # POSIX), so concurrent processes never load a half-written .so
+        tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
         try:
             subprocess.run(
-                [cc, "-O2", "-fPIC", "-shared", "-o", _LIB_PATH, _SRC],
+                [cc, "-O2", "-fPIC", "-shared", "-o", tmp, _SRC],
                 check=True, capture_output=True,
             )
+            os.replace(tmp, _LIB_PATH)
             return ctypes.CDLL(_LIB_PATH)
         except (OSError, subprocess.CalledProcessError):
             continue
+        finally:
+            if os.path.exists(tmp):
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
     _build_failed = True
     return None
 

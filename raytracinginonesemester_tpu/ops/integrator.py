@@ -253,6 +253,15 @@ def trace_rays(
             # dispatch below falls back to make_hit_frame for normals
             return hits, None, None
 
+        # occlusion is a 0/1 step function of its inputs (no useful
+        # gradient anywhere), and the Pallas occlusion kernel has no JVP
+        # rule — detach its inputs so hit points built from the
+        # gradient-carrying t never push tangents into pallas_call
+        inner_occlude = occlude_fn
+
+        def occlude_fn(o, d, s_tmin, s_tmax):
+            return inner_occlude(sg(o), sg(d), sg(s_tmin), sg(s_tmax))
+
     def bounce(carry, _):
         o, d, throughput, radiance, state, alive = carry
 
@@ -370,8 +379,10 @@ def trace_rays(
         jnp.asarray(rng_state, jnp.uint32),
         jnp.ones((r,), bool),
     )
-    if scene.accel is None:
-        # differentiable path: fixed-trip scan (reverse-mode transposes)
+    if scene.accel is None or getattr(scene, "differentiable", False):
+        # differentiable path: fixed-trip scan (reverse-mode transposes;
+        # lax.while_loop does not) — detached-traversal scenes need it
+        # just as much as brute-force ones
         (_, _, _, radiance, _, _), _ = jax.lax.scan(
             bounce, init, None, length=max_depth
         )

@@ -208,9 +208,10 @@ def render_scene(
     # RT_WAVEFRONT is read here, OUTSIDE the jitted body, and passed as
     # a static arg — an env read inside the traced function would be
     # captured at first trace and masked by the jit cache thereafter.
-    # (The sharded driver also reads it outside jit, but resolves
-    # "auto" to the monolithic kernel until the staged scheduler is
-    # plumbed through shard_map; parallel/sharded.py.)
+    # (The sharded driver also reads it outside jit and runs the staged
+    # scheduler per data shard: full-frame calibration divided across
+    # shards, with the in-graph overflow cond as the safety net;
+    # parallel/sharded.py.)
     # Default "auto": the staged wavefront scheduler is the production
     # path for eligible bouncing scenes (measured 189.8 -> 138.4 ms on
     # the frog 1080p depth-8 workload); "0" forces the monolithic

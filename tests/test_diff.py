@@ -127,14 +127,28 @@ def scene_detached():
 def test_detached_traversal_gradients_match_brute(scene, scene_detached):
     """The detached-traversal mode (fast block traversal under
     stop_gradient + differentiable winner recompute) must produce the
-    SAME forward image as the brute-force differentiable path on the
-    same backend, and closely matching gradients (identical estimator:
-    the discrete winner choice carries no gradient in either)."""
+    EXACT forward image of the non-differentiable block-accel path on
+    the same backend — the ``a + (b - stop_gradient(b))`` passthrough
+    keeps the primal t/u/v bit-for-bit — and closely matching gradients
+    vs the brute-force differentiable path (identical estimator: the
+    discrete winner choice carries no gradient in either).
+
+    Tolerance contract: brute (accel='none') and block-accel t/u/v are
+    computed with different op orders, so their images legitimately
+    differ by FMA/vectorization reassociation amplified through shading
+    (measured ~4e-6 on 2/15552 pixels) — the brute comparison is
+    therefore loose (1e-5), while the block-vs-detached comparison is
+    exact (atol=0)."""
     fwd_brute = render_scene(scene, jitter_mode="center", spp_override=1)
     fwd_det = render_scene(scene_detached, jitter_mode="center",
                            spp_override=1)
+    scene_blocks = dataclasses.replace(scene_detached, differentiable=False)
+    fwd_blocks = render_scene(scene_blocks, jitter_mode="center",
+                              spp_override=1)
+    np.testing.assert_array_equal(np.asarray(fwd_det),
+                                  np.asarray(fwd_blocks))
     np.testing.assert_allclose(np.asarray(fwd_det), np.asarray(fwd_brute),
-                               rtol=0, atol=1e-6)
+                               rtol=0, atol=1e-5)
 
     target = jnp.zeros((54, 96, 3), jnp.float32)
     for keys in (("albedo",), ("light_intensity",), ("vertices",)):
@@ -147,6 +161,32 @@ def test_detached_traversal_gradients_match_brute(scene, scene_detached):
             spp_override=1))(pd)
         for k in keys:
             a, b = np.asarray(gb[k]), np.asarray(gd[k])
+            scale = max(np.abs(a).max(), 1e-8)
+            np.testing.assert_allclose(b, a, rtol=0, atol=2e-4 * scale,
+                                       err_msg=k)
+
+
+def test_detached_traversal_gradients_pallas_path(scene, scene_detached):
+    """Detached-diff must also work on the PALLAS traversal path (the
+    TPU-production default): the closest-hit query AND the occlusion
+    query run under stop_gradient, so no tangents ever reach a
+    pallas_call (which has no JVP rule).  Gradients must match the
+    brute-force estimator just like the XLA block path does.
+
+    Exercised in interpret mode (this suite is CPU); on TPU the same
+    code path compiles for real."""
+    scene_pl = dataclasses.replace(scene_detached, use_pallas=True)
+    target = jnp.zeros((54, 96, 3), jnp.float32)
+    for keys in (("albedo",), ("vertices",)):
+        pb = extract_params(scene, keys=keys)
+        pp = extract_params(scene_pl, keys=keys)
+        gb = jax.grad(lambda p: render_loss(
+            p, scene, target, jitter_mode="center", spp_override=1))(pb)
+        gp = jax.grad(lambda p: render_loss(
+            p, scene_pl, target, jitter_mode="center",
+            spp_override=1))(pp)
+        for k in keys:
+            a, b = np.asarray(gb[k]), np.asarray(gp[k])
             scale = max(np.abs(a).max(), 1e-8)
             np.testing.assert_allclose(b, a, rtol=0, atol=2e-4 * scale,
                                        err_msg=k)

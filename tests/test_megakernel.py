@@ -134,3 +134,37 @@ def test_megakernel_mirror_bounces_match_wavefront():
     img_s = np.asarray(render_scene(staged, jitter_mode="wang"))
     bad = np.abs(img_f - img_s) > 2e-3
     assert bad.mean() < 2e-3, f"{bad.mean():.4%} pixels diverge"
+
+
+def test_qsel_bf16_split_reconstructs_attributes_bitexact():
+    """The MXU winner-attribute selection matrix (``_build_qsel``)
+    stores each f32 attribute as three bf16 parts (hi/mid/lo); the
+    production TPU path (mm_attrs mode 1) reconstructs the attribute as
+    the f32 sum (hi + mid) + lo after the one-hot bf16 matmul.  That
+    reconstruction must be BIT-EXACT for every real triangle attribute
+    in the grid — the invariant the on-TPU bf16 dot relies on
+    (scripts/probe_mm_select.py measured it for |q| in
+    [1e-32, 3.38e38]); this asserts it off-TPU for the actual scene
+    data, covering the mode-1 split that interpret-mode tests (which
+    compile mode 2, f32 dot) never exercise."""
+    from raytracinginonesemester_tpu.ops.megakernel import (_QSEL_F,
+                                                            _build_qsel)
+
+    scene = _two_frog_scene(width=16, height=16)
+    grid = scene.accel
+    qsel = np.asarray(_build_qsel(grid))  # (L*B, 128) bf16 -> f32 by np
+    l, b = grid.tri_index.shape
+    feats = np.concatenate([
+        np.asarray(grid.tri),
+        np.asarray(grid.norm),
+        np.asarray(grid.obj)[None].astype(np.float32),
+    ]).reshape(_QSEL_F, l * b).T  # (L*B, 22)
+    valid = (np.asarray(grid.tri_index) >= 0).reshape(l * b)
+
+    hi = qsel[:, 0:_QSEL_F].astype(np.float32)
+    mid = qsel[:, 32:32 + _QSEL_F].astype(np.float32)
+    lo = qsel[:, 64:64 + _QSEL_F].astype(np.float32)
+    recon = (hi + mid) + lo  # the kernel's exact summation order
+    np.testing.assert_array_equal(recon[valid], feats[valid])
+    # padding triangles are zeroed so they contribute nothing to dots
+    assert not np.any(qsel[~valid])
