@@ -44,8 +44,11 @@ def _bench_backward(args):
     from raytracinginonesemester_tpu.diff.inverse import (
         apply_params, extract_params, render_loss)
 
-    w = args.width or 320
-    h = args.height or 180
+    # 960x540 by default: small frames are dominated by the dev
+    # tunnel's ~28 ms dispatch RTT, which says nothing about the
+    # backward pass itself
+    w = args.width or 960
+    h = args.height or 540
     spp = args.spp or 1
     scene_path = args.scene or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),

@@ -225,6 +225,7 @@ def trace_rays(
             local = occlude_local(o, d, s_tmin, s_tmax)
             return jax.lax.psum(local.astype(jnp.int32), model_axis) > 0
 
+    tri_cell = [None]  # set by the detached closest_fn below
     if getattr(scene, "differentiable", False) and scene.accel is not None:
         # Detached-traversal differentiable mode: the (dynamic-loop,
         # non-differentiable) block/Pallas traversal runs entirely under
@@ -237,12 +238,16 @@ def trace_rays(
         # silhouettes, exactly like the brute-force path's argmin).
         sg = jax.lax.stop_gradient
         inner_closest = closest_fn
-
         def closest_fn(o, d):
             hits, kn, kv = inner_closest(sg(o), sg(d))
             hits = jax.tree.map(sg, hits)
             idx = jnp.maximum(hits.tri_idx, 0)
-            tri = geom.vertices[idx]  # differentiable gather (R, 3, 3)
+            # differentiable gather (R, 3, 3); stashed in tri_cell so
+            # make_hit_frame reuses it and the gather (plus its backward
+            # scatter-add, the expensive primitive) is paid once per
+            # bounce, not twice
+            tri = geom.vertices[idx]
+            tri_cell[0] = tri
             t2, u2, v2 = mt_single(o, d, tri, det_eps)
             thru = lambda a, b: a + (b - sg(b))
             hits = HitData(
@@ -289,7 +294,8 @@ def trace_rays(
             n = kernel_n
         else:
             p, n, _ = make_hit_frame(
-                o, d, hits, geom.vertices, geom.normals, mode=scene.dialect
+                o, d, hits, geom.vertices, geom.normals,
+                mode=scene.dialect, tri=tri_cell[0]
             )
         # park miss/dead lanes' shade points too: their shadow rays then
         # cull instantly instead of tracing from a garbage position

@@ -379,7 +379,7 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
     tmin_l = jnp.full((1, rt), tmin, jnp.float32)
     tmin_c = jnp.full((rt, 1), tmin, jnp.float32)
     if chunk:
-        nx_c, ny_c, nz_c, obj_c = col_scr
+        blk_c = col_scr[1]  # (RT, 1) int32 winner-block column
         tmin_ch = jnp.full((chunk, 1), tmin, jnp.float32)
 
     def traverse(o_sc, o_l, d_c, d_l, use_plan, active_l):
@@ -409,10 +409,7 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
             # own discarded winner state (alive masks gate all reads).
             o_sc = (_to_col(o_l[0]), _to_col(o_l[1]), _to_col(o_l[2]))
         if chunked:
-            nx_c[:] = jnp.zeros((rt, 1), jnp.float32)
-            ny_c[:] = jnp.zeros((rt, 1), jnp.float32)
-            nz_c[:] = jnp.ones((rt, 1), jnp.float32)
-            obj_c[:] = jnp.zeros((rt, 1), jnp.int32)
+            blk_c[:] = jnp.full((rt, 1), int_max, jnp.int32)
 
         def visit_block(b):
             tri = tuple(
@@ -472,19 +469,18 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
             ``boxed_col`` is the (RT, 1) f32 slab mask: rows whose slab
             test failed cannot improve, so whole row-chunks with no
             passing ray skip their share of the (RT, B) register-ops.
-            Winner attributes land in COLUMN scratches (static sublane
-            slices are cheap; sub-128 lane slices are not); t_lane is
-            refreshed once per visit for the caller's slab pruning.
+            Winner ATTRIBUTES are deferred exactly like the unchunked
+            visit (the round-2 inline-attr variant lost; git history):
+            each chunk only updates (t, id) and records the winner's
+            block in the blk_c column; the resolve pass after the walk
+            reads blk_win and does the attribute selection once per
+            distinct winner block.  t_lane is refreshed once per visit
+            for the caller's slab pruning.
             """
             tri = tuple(
                 tri_ref[pl.ds(k_ * num_blocks + b, 1), :] for k_ in range(9)
             )
             ids = ids_ref[pl.ds(b, 1), :]  # (1, B)
-            objs = obj_ref[pl.ds(b, 1), :]
-            nrm = tuple(
-                norm_ref[pl.ds(k_ * num_blocks + b, 1), :] for k_ in range(12)
-            )
-            n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z, gx, gy, gz = nrm
             for c in range(rt // chunk):
                 lo = c * chunk
                 pred = jnp.sum(boxed_col[lo:lo + chunk, :]) > 0.0
@@ -510,24 +506,10 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
 
                     @pl.when(jnp.any(take))
                     def _():
-                        pick = at_min & (id_key == best_id)
-                        snx, sny, snz = _shading_normal(
-                            dialect, d_ch,
-                            (n0x, n0y, n0z, n1x, n1y, n1z,
-                             n2x, n2y, n2z, gx, gy, gz), u, v)
-                        sel = lambda q: jnp.sum(
-                            jnp.where(pick, q, 0.0), axis=1, keepdims=True
-                        )
                         sl = pl.ds(lo, chunk)
                         t_col[sl, :] = jnp.where(take, min_t, old_t)
                         idx_col[sl, :] = jnp.where(take, best_id, old_idx)
-                        nx_c[sl, :] = jnp.where(take, sel(snx), nx_c[sl, :])
-                        ny_c[sl, :] = jnp.where(take, sel(sny), ny_c[sl, :])
-                        nz_c[sl, :] = jnp.where(take, sel(snz), nz_c[sl, :])
-                        sel_obj = jnp.sum(
-                            jnp.where(pick, objs, 0), axis=1, keepdims=True
-                        )
-                        obj_c[sl, :] = jnp.where(take, sel_obj, obj_c[sl, :])
+                        blk_c[sl, :] = jnp.where(take, b, blk_c[sl, :])
 
             t_lane[:] = _to_lane(t_col[:])
 
@@ -582,12 +564,10 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
 
             jax.lax.while_loop(f_cond, f_body, jnp.int32(0))
             if chunked:
-                # winner attributes accumulated in column layout; one
-                # relayout each hands them to the lane-major consumers
-                nx_l[:] = _to_lane(nx_c[:])
-                ny_l[:] = _to_lane(ny_c[:])
-                nz_l[:] = _to_lane(nz_c[:])
-                obj_l[:] = _to_lane(obj_c[:])
+                # hand the chunked walk's winner blocks to the shared
+                # deferred-attribute resolve pass below (int32 relayouts
+                # are cheap; see the layout notes in docs/DESIGN.md)
+                blk_win[:] = _to_lane(blk_c[:])
         else:
             # MK_ORDERED_SCAN=1: centroid-ordered near-to-far scan.
             # Per-block conservative entry bound: euclidean distance from
@@ -660,76 +640,76 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
         # u/v + shading-normal chain with _mt_block's exact op order —
         # identical bits to resolving inside the winning visit, since
         # attributes are only consumed after traverse returns.  The
-        # chunked path accumulates its own attrs; debug-skip modes
-        # leave blk_win at int_max so the loop no-ops.
-        if not chunked:
-            def r_cond(c):
-                k, bw = c
-                return (k < num_blocks) & (jnp.min(bw) < int_max)
+        # chunked path records winner blocks in blk_c and joins here
+        # via the blk_win relayout above; debug-skip modes leave
+        # blk_win at int_max so the loop no-ops.
+        def r_cond(c):
+            k, bw = c
+            return (k < num_blocks) & (jnp.min(bw) < int_max)
 
-            def r_body(c):
-                k, bw = c
-                b = jnp.min(bw)
-                mask = blk_win[:] == b
-                idxc = idx_col[:]
-                ids = ids_ref[pl.ds(b, 1), :]
-                pick = (ids == idxc) & (idxc >= 0)
-                if qsel_ref is not None:
-                    qb = qsel_ref[pl.ds(b * bsize, bsize), :]
-                    if mm_f32_dot:
-                        mm = jnp.dot(jnp.where(pick, 1.0, 0.0),
-                                     qb.astype(jnp.float32),
-                                     preferred_element_type=jnp.float32)
-                    else:
-                        mm = jnp.dot(
-                            jnp.where(pick, 1.0, 0.0).astype(jnp.bfloat16),
-                            qb, preferred_element_type=jnp.float32)
-                    outt = mm.T  # (128, RT) — attrs land lane-major
-                    attr = lambda f: (outt[f:f + 1, :]
-                                      + outt[32 + f:33 + f, :]
-                                      + outt[64 + f:65 + f, :])
-                    a = [attr(f) for f in range(21)]
-                    obj_w = attr(21).astype(jnp.int32)
+        def r_body(c):
+            k, bw = c
+            b = jnp.min(bw)
+            mask = blk_win[:] == b
+            idxc = idx_col[:]
+            ids = ids_ref[pl.ds(b, 1), :]
+            pick = (ids == idxc) & (idxc >= 0)
+            if qsel_ref is not None:
+                qb = qsel_ref[pl.ds(b * bsize, bsize), :]
+                if mm_f32_dot:
+                    mm = jnp.dot(jnp.where(pick, 1.0, 0.0),
+                                 qb.astype(jnp.float32),
+                                 preferred_element_type=jnp.float32)
                 else:
-                    planes = [tri_ref[pl.ds(k_ * num_blocks + b, 1), :]
-                              for k_ in range(9)]
-                    planes += [norm_ref[pl.ds(k_ * num_blocks + b, 1), :]
-                               for k_ in range(12)]
-                    selc = lambda q: _to_lane(jnp.sum(
-                        jnp.where(pick, q, 0.0), axis=1, keepdims=True))
-                    a = [selc(q) for q in planes]
-                    objs = obj_ref[pl.ds(b, 1), :]
-                    obj_w = _to_lane(jnp.sum(
-                        jnp.where(pick, objs, 0), axis=1, keepdims=True))
-                v0x, v0y, v0z = a[0], a[1], a[2]
-                e1x, e1y, e1z = a[3], a[4], a[5]
-                e2x, e2y, e2z = a[6], a[7], a[8]
-                dx, dy, dz = d_l
-                ox, oy, oz = o_l
-                # _mt_block's exact sequence on the winner values
-                pvx = dy * e2z - dz * e2y
-                pvy = dz * e2x - dx * e2z
-                pvz = dx * e2y - dy * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                inv_det = 1.0 / jnp.where(jnp.abs(det) < det_eps, 1.0, det)
-                tvx = ox - v0x
-                tvy = oy - v0y
-                tvz = oz - v0z
-                u_w = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                qvx = tvy * e1z - tvz * e1y
-                qvy = tvz * e1x - tvx * e1z
-                qvz = tvx * e1y - tvy * e1x
-                v_w = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-                sn_w = _interp_normal(tuple(a[9:18]), u_w, v_w)
-                snx, sny, snz = _finish_shading_normal(
-                    dialect, d_l, sn_w, (a[18], a[19], a[20]))
-                nx_l[:] = jnp.where(mask, snx, nx_l[:])
-                ny_l[:] = jnp.where(mask, sny, ny_l[:])
-                nz_l[:] = jnp.where(mask, snz, nz_l[:])
-                obj_l[:] = jnp.where(mask, obj_w, obj_l[:])
-                return k + 1, jnp.where(mask, int_max, bw)
+                    mm = jnp.dot(
+                        jnp.where(pick, 1.0, 0.0).astype(jnp.bfloat16),
+                        qb, preferred_element_type=jnp.float32)
+                outt = mm.T  # (128, RT) — attrs land lane-major
+                attr = lambda f: (outt[f:f + 1, :]
+                                  + outt[32 + f:33 + f, :]
+                                  + outt[64 + f:65 + f, :])
+                a = [attr(f) for f in range(21)]
+                obj_w = attr(21).astype(jnp.int32)
+            else:
+                planes = [tri_ref[pl.ds(k_ * num_blocks + b, 1), :]
+                          for k_ in range(9)]
+                planes += [norm_ref[pl.ds(k_ * num_blocks + b, 1), :]
+                           for k_ in range(12)]
+                selc = lambda q: _to_lane(jnp.sum(
+                    jnp.where(pick, q, 0.0), axis=1, keepdims=True))
+                a = [selc(q) for q in planes]
+                objs = obj_ref[pl.ds(b, 1), :]
+                obj_w = _to_lane(jnp.sum(
+                    jnp.where(pick, objs, 0), axis=1, keepdims=True))
+            v0x, v0y, v0z = a[0], a[1], a[2]
+            e1x, e1y, e1z = a[3], a[4], a[5]
+            e2x, e2y, e2z = a[6], a[7], a[8]
+            dx, dy, dz = d_l
+            ox, oy, oz = o_l
+            # _mt_block's exact sequence on the winner values
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < det_eps, 1.0, det)
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            u_w = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v_w = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            sn_w = _interp_normal(tuple(a[9:18]), u_w, v_w)
+            snx, sny, snz = _finish_shading_normal(
+                dialect, d_l, sn_w, (a[18], a[19], a[20]))
+            nx_l[:] = jnp.where(mask, snx, nx_l[:])
+            ny_l[:] = jnp.where(mask, sny, ny_l[:])
+            nz_l[:] = jnp.where(mask, snz, nz_l[:])
+            obj_l[:] = jnp.where(mask, obj_w, obj_l[:])
+            return k + 1, jnp.where(mask, int_max, bw)
 
-            jax.lax.while_loop(r_cond, r_body, (jnp.int32(0), blk_win[:]))
+        jax.lax.while_loop(r_cond, r_body, (jnp.int32(0), blk_win[:]))
 
     return traverse
 
@@ -1326,8 +1306,8 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
          tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
          bo_x, bo_y, bo_z, bd_x, bd_y, bd_z,
          hm_x, hm_y, hm_z,
-         nx_c, ny_c, nz_c, obj_c) = rest
-        col_scr = (nx_c, ny_c, nz_c, obj_c)
+         sblk_c, blk_c) = rest
+        col_scr = (sblk_c, blk_c)
     elif cpuonly:
         (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
          acc_r, acc_g, acc_b, blk_lane,
@@ -1399,10 +1379,7 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
         tri_ref, ids_ref, aabb_ref, lights_ref, mats_ref,
         t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
         chunk=chunk,
-        # nx_c doubles as the shadow blocked column: it is dead between
-        # the end of a traverse (cols -> lanes handoff) and the next
-        # traverse's re-initialization, which is exactly when shade runs
-        blk_col=col_scr[0] if chunk else None,
+        blk_col=col_scr[0] if chunk else None,  # shadow blocked column
         dialect=dialect, shadow_samples=shadow_samples,
         rng_st=None if terminal else rng_st,
         spos_scr=spos_scr,
@@ -1697,9 +1674,11 @@ def render_tiles(
         if chunk:
             assert RAY_TILE % chunk == 0 and chunk % 8 == 0
             assert not cpuonly
-            # column winner attributes for the chunked bounce visits
-            scratch += [pltpu.VMEM((RAY_TILE, 1), jnp.float32)] * 3
-            scratch += [pltpu.VMEM((RAY_TILE, 1), jnp.int32)]
+            # shadow-blocked column + winner-block column for the
+            # chunked bounce visits (attrs are deferred, so no
+            # per-attribute columns)
+            scratch += [pltpu.VMEM((RAY_TILE, 1), jnp.float32),
+                        pltpu.VMEM((RAY_TILE, 1), jnp.int32)]
         elif cpuonly:
             # sampled shadow origin xyz + the unoccluded-count lane
             scratch += [lane() for _ in range(4)]
@@ -2103,7 +2082,7 @@ def resume_tiles(
 
 
 def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
-                        diffuse_bounce, dialect, shadow_samples,
+                        diffuse_bounce, dialect, shadow_samples, chunk,
                         num_blocks, num_supers, n_lights, n_objects,
                         mm_attrs,
                         cam_ref, lights_ref, mats_ref,
@@ -2120,6 +2099,7 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
     Radiance rides in the state's rd rows — dead tiles pass through."""
     cpuonly = dialect == "cpuonly"
     spos_scr = None
+    col_scr = None
     if cpuonly:
         (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
          blk_lane,
@@ -2127,6 +2107,13 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
          bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z,
          sp_x, sp_y, sp_z, unocc) = scratch
         spos_scr = (sp_x, sp_y, sp_z, unocc)
+    elif chunk:
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
+         blk_lane,
+         tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
+         bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z,
+         sblk_c, blk_c) = scratch
+        col_scr = (sblk_c, blk_c)
     else:
         (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
          blk_lane,
@@ -2147,6 +2134,7 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
         tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
         order_ref, entry_ref,
         t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
+        chunk=chunk, col_scr=col_scr,
         dialect=dialect, qsel_ref=qsel_ref if mm_attrs else None,
         mm_f32_dot=mm_attrs == 2,
     )
@@ -2154,6 +2142,8 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
         det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
         tri_ref, ids_ref, aabb_ref, lights_ref, mats_ref,
         t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+        chunk=chunk,
+        blk_col=col_scr[0] if chunk else None,
         dialect=dialect, shadow_samples=shadow_samples, rng_st=rng_st,
         spos_scr=spos_scr,
     )
@@ -2165,7 +2155,7 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
         (tp_r, tp_g, tp_b), (rd_r, rd_g, rd_b), rng_st, alive_st,
         (bo_x, bo_y, bo_z), (bd_x, bd_y, bd_z),
         nx_l, ny_l, nz_l, obj_l, hm_refs=(hm_x, hm_y, hm_z),
-        dialect=dialect,
+        chunk_shadow=bool(chunk), dialect=dialect,
     )
 
     # dead tiles (the sorted suffix) skip straight to the passthrough
@@ -2200,16 +2190,24 @@ def bounce_step_tiles(
     shadow_tmin: float = 1e-4,
     dialect: str = "gpu",
     shadow_samples: int = 1,
+    chunk: int = 0,
 ):
     """One planned bounce over packed state tiles -> (state', rng').
 
     ``(order, entry)`` is the per-tile front-to-back superblock plan
     from ``wavefront.bounce_tile_plan`` (padded via ``_pad_plan_rows``).
     Not jitted on its own: the staged wavefront scheduler traces it
-    inside its bounce loop."""
+    inside its bounce loop.
+
+    ``chunk``: sublane-chunk gating of the dense visits (see
+    ``_make_traverse.visit_block_chunked``) — the compaction sort
+    clusters slab-passing lanes, so post-sort tiles can skip whole
+    dead row-chunks; 0 = full-tile visits."""
     grid = scene.accel
     nt = state.shape[0] // _ST_ROWS
     ls = order.shape[1]
+    if chunk and (RAY_TILE % chunk or chunk % 8 or dialect == "cpuonly"):
+        chunk = 0
 
     (scalar_ops, scalar_specs, geom_ops, geom_specs,
      n_lights, n_objects) = _scene_rows(scene, grid)
@@ -2228,9 +2226,14 @@ def bounce_step_tiles(
                         memory_space=pltpu.VMEM)]
     )
 
+    scratch = _bounce_scratch(dialect == "cpuonly")
+    if chunk:
+        scratch += [pltpu.VMEM((RAY_TILE, 1), jnp.float32),
+                    pltpu.VMEM((RAY_TILE, 1), jnp.int32)]
     st, rng = pl.pallas_call(
         partial(_bounce_step_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
                 bool(scene.diffuse_bounce), dialect, int(shadow_samples),
+                int(chunk),
                 l, ls, n_lights, n_objects, mm_attrs_mode(grid, interpret)),
         out_shape=[
             jax.ShapeDtypeStruct((nt * _ST_ROWS, RAY_TILE), jnp.float32),
@@ -2245,7 +2248,7 @@ def bounce_step_tiles(
                 pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=_bounce_scratch(dialect == "cpuonly"),
+            scratch_shapes=scratch,
         ),
         interpret=interpret,
     )(*scalar_ops, *geom_ops, order, entry, state, rng_state)

@@ -60,6 +60,21 @@ __all__ = ["bounce_tile_plan", "render_tiles_wavefront",
 
 _I32_MAX = np.int32(2**31 - 1)
 
+# Sublane-chunk gating for the staged bounce kernels: the compaction
+# sort clusters slab-passing lanes, so chunks of dead rows can skip
+# their share of the dense Moller-Trumbore (megakernel.
+# visit_block_chunked, deferred-attr form).  Rows per chunk; 0 = off.
+# Measured on frog 1080p depth-8 (scripts/probe_staged_chunk.py,
+# single dispatch): 0 -> 87.0 ms, 64 -> 87.8, 128 -> 90.1, 256 -> 84.7,
+# all bit-identical — half-tile chunks win ~2.3 ms (the round-1
+# chunk=8 experiment lost because 64 scalar preds/visit cost more than
+# the skipped ops; at 256 it is 2 preds).  Read once at import like
+# every perf knob (env reads at trace time would be masked by the jit
+# cache).
+import os as _os
+
+_STAGED_CHUNK = int(_os.environ.get("RT_STAGED_CHUNK", "256"))
+
 
 def _sort_key(bo, bd, alive, lo, span):
     """(direction octant << 24) | 24-bit origin morton; dead rays get
@@ -196,7 +211,7 @@ def bounce_tile_plan(state: Array, grid):
 @partial(jax.jit, static_argnames=("spp", "interpret", "det_eps", "tmin",
                                    "shadow_eps", "shadow_tmin",
                                    "dialect", "jitter", "shadow_samples",
-                                   "capacity_tiles"))
+                                   "capacity_tiles", "staged_chunk"))
 def render_tiles_wavefront(
     scene,
     xs: Array,
@@ -213,6 +228,7 @@ def render_tiles_wavefront(
     jitter: str = "wang",
     shadow_samples: int = 1,
     capacity_tiles: int | None = None,
+    staged_chunk: int | None = None,
 ) -> Array:
     """Wavefront render of swizzled pixel tiles -> (N, 3) radiance SUM
     over spp samples; drop-in for ``megakernel.render_tiles`` on
@@ -227,7 +243,13 @@ def render_tiles_wavefront(
     plans.  If more tiles survive than the capacity (a
     miscalibration), a ``lax.cond`` falls back to the global
     single-sort multi-bounce resume — output is identical either way.
-    ``None`` (default) always uses the single-sort resume."""
+    ``None`` (default) always uses the single-sort resume.
+
+    ``staged_chunk``: sublane rows per gated dense-visit chunk in the
+    staged bounce kernels (``megakernel.visit_block_chunked``); None
+    defaults to the ``RT_STAGED_CHUNK`` env knob, 0 disables."""
+    if staged_chunk is None:
+        staged_chunk = _STAGED_CHUNK
     grid = scene.accel
     xs_p, ys_p, n, np_rays = _pad_tiles(xs, ys)
     nt = np_rays // RAY_TILE
@@ -295,7 +317,8 @@ def render_tiles_wavefront(
             else:
                 order, entry = bounce_tile_plan(h_st, grid)
             h_st, h_rng = bounce_step_tiles(scene, h_st, h_rng,
-                                            order, entry, **kw)
+                                            order, entry,
+                                            chunk=staged_chunk, **kw)
             return sort_bounce_state(h_st, h_rng, h_pix, lo, span)
 
         def while_bounces(h_st, h_rng, h_pix, c, d0):

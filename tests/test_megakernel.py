@@ -168,3 +168,19 @@ def test_qsel_bf16_split_reconstructs_attributes_bitexact():
     np.testing.assert_array_equal(recon[valid], feats[valid])
     # padding triangles are zeroed so they contribute nothing to dots
     assert not np.any(qsel[~valid])
+
+
+def test_monolithic_chunked_visits_bit_identical():
+    """The MK_CHUNK sublane-gated dense visits of the monolithic kernel
+    (now sharing the deferred winner-attribute resolve with the
+    unchunked path) must be bit-identical to full-tile visits."""
+    from raytracinginonesemester_tpu.ops.megakernel import render_tiles
+    from raytracinginonesemester_tpu.render.renderer import _swizzled_grid
+
+    scene = _two_frog_scene(width=64, height=32, diffuse_bounce=True,
+                            max_bounces=3)
+    scene = dataclasses.replace(scene, terminal_only=False)
+    xs, ys, _ = _swizzled_grid(64, 32)
+    a = np.asarray(render_tiles(scene, xs, ys, 1, interpret=True, chunk=0))
+    b = np.asarray(render_tiles(scene, xs, ys, 1, interpret=True, chunk=64))
+    np.testing.assert_array_equal(a, b)

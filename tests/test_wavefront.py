@@ -260,3 +260,24 @@ def test_planned_traversal_matches_flat():
         mk._EMIT_FLAT_ENV, mk._STAGED_FLAT_ENV = old
         jax.clear_caches()
     np.testing.assert_array_equal(flat, planned)
+
+
+@pytest.mark.parametrize("chunk", [64, 256])
+def test_staged_chunked_bounce_bit_identical(chunk):
+    """Sublane-chunked dense visits in the staged bounce kernels
+    (``RT_STAGED_CHUNK`` / ``staged_chunk``) must be bit-identical to
+    full-tile visits: a skipped chunk had no slab-passing lane, so the
+    block provably cannot improve any of its rays' (t, id) winners, and
+    the per-ray reductions inside a visit are row-independent.  Winner
+    attributes resolve through the same deferred pass either way."""
+    scene = _two_frog_scene(width=128, height=64, diffuse_bounce=True,
+                            max_bounces=4)
+    scene = dataclasses.replace(scene, terminal_only=False)
+    xs, ys, _ = _swizzled_grid(128, 64)
+    a = np.asarray(render_tiles_wavefront(
+        scene, xs, ys, 1, interpret=True, capacity_tiles=4,
+        staged_chunk=0))
+    b = np.asarray(render_tiles_wavefront(
+        scene, xs, ys, 1, interpret=True, capacity_tiles=4,
+        staged_chunk=chunk))
+    np.testing.assert_array_equal(a, b)
