@@ -249,14 +249,18 @@ def main():
 
     render = lambda s: render_scene(s, jitter_mode="wang", ray_tile=args.ray_tile)
 
-    # one eager render first: warms the kernel compiles AND the staged
-    # wavefront capacity calibration cache (ops.wavefront
-    # auto_capacity_tiles), so the jitted steady-state loop below traces
-    # the staged scheduler instead of falling back
+    # warm the staged-wavefront capacity calibration (one emit dispatch,
+    # memo'd in memory and on disk per scene fingerprint) so the jitted
+    # steady-state loop below traces the staged scheduler instead of
+    # falling back.  This replaced a full eager warm render that cost
+    # ~200 s of redundant whole-pipeline compiles per bench run.
+    from raytracinginonesemester_tpu.render.renderer import resolve_wavefront
+
     t0 = time.time()
-    img = render(scene)
-    jax.block_until_ready(img)
-    print(f"eager warm render: {time.time() - t0:.2f}s", file=sys.stderr)
+    wf, cap = resolve_wavefront(scene, "wang", args.spp)
+    print(f"capacity calibration: {time.time() - t0:.2f}s "
+          f"(wavefront={wf} cap={cap})", file=sys.stderr)
+    img = None
 
     # NOTE: under the tunneled single-chip runtime block_until_ready can
     # return before remote execution finishes, so every timed frame is
@@ -305,6 +309,7 @@ def main():
     if args.save:
         from raytracinginonesemester_tpu.io.image import write_png
 
+        img = render(scene)
         write_png(args.save, np.asarray(img),
                   mode="gpu" if scene.dialect == "gpu" else "cpuonly")
         print(f"saved {args.save}", file=sys.stderr)

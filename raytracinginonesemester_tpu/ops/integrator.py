@@ -124,9 +124,14 @@ def trace_rays(
         grid_chunks = num_chunks_for(scene.accel)
 
     # detached-diff mode needs differentiable normals (make_hit_frame
-    # gathers), so the in-kernel normal/shadow fusion is disabled there
-    kernel_normals = (scene.accel is not None and use_pallas and gpu
-                      and not getattr(scene, "differentiable", False))
+    # gathers), but the fused kernel NORMAL+SHADOW outputs are still
+    # worth computing there: visibility is detached by construction
+    # (a 0/1 step function), so the in-kernel IsInShadow walk replaces
+    # two separate occlusion kernel launches per bounce; only the
+    # kernel normal is discarded in favor of the differentiable
+    # make_hit_frame recompute (see the detached closest_fn below)
+    differentiable = bool(getattr(scene, "differentiable", False))
+    kernel_normals = scene.accel is not None and use_pallas and gpu
     # gpu lights are always point lights; under model sharding each shard
     # only sees its own blocks, so fused visibility would be partial —
     # fall back to the psum'd occlusion kernel there.  Chunked grids
@@ -226,7 +231,7 @@ def trace_rays(
             return jax.lax.psum(local.astype(jnp.int32), model_axis) > 0
 
     tri_cell = [None]  # set by the detached closest_fn below
-    if getattr(scene, "differentiable", False) and scene.accel is not None:
+    if differentiable and scene.accel is not None:
         # Detached-traversal differentiable mode: the (dynamic-loop,
         # non-differentiable) block/Pallas traversal runs entirely under
         # stop_gradient to pick the winner triangle; a per-ray
@@ -254,9 +259,13 @@ def trace_rays(
                 t=thru(hits.t, t2), u=thru(hits.u, u2),
                 v=thru(hits.v, v2), tri_idx=hits.tri_idx, hit=hits.hit,
             )
-            # kernel normals/visibility are non-differentiable; the
-            # dispatch below falls back to make_hit_frame for normals
-            return hits, None, None
+            # the kernel NORMAL is non-differentiable — discard it and
+            # let the dispatch below recompute it via make_hit_frame's
+            # differentiable gathers; kernel VISIBILITY is kept (sg'ed):
+            # a 0/1 step function carries no gradient anywhere, and the
+            # fused walk replaces two occlusion launches per bounce
+            kv = None if kv is None else jax.tree.map(sg, kv)
+            return hits, None, kv
 
         # occlusion is a 0/1 step function of its inputs (no useful
         # gradient anywhere), and the Pallas occlusion kernel has no JVP
@@ -385,7 +394,7 @@ def trace_rays(
         jnp.asarray(rng_state, jnp.uint32),
         jnp.ones((r,), bool),
     )
-    if scene.accel is None or getattr(scene, "differentiable", False):
+    if scene.accel is None or differentiable:
         # differentiable path: fixed-trip scan (reverse-mode transposes;
         # lax.while_loop does not) — detached-traversal scenes need it
         # just as much as brute-force ones

@@ -473,6 +473,46 @@ def _emit_alive_tiles(scene, xs_p, ys_p, **kw):
 # flips the staged scheduler's lax.cond to the single-sort fallback.
 _CAP_CACHE: dict = {}
 
+# On-disk twin of _CAP_CACHE so repeated driver/bench runs skip the
+# calibration emit dispatch (and, with a warm XLA compile cache, the
+# emit kernel compile).  Keyed by the scene fingerprint below; same
+# correctness story — a wrong capacity only costs the overflow cond.
+_CAP_CACHE_PATH = _os.environ.get(
+    "RT_CAP_CACHE", _os.path.join("/tmp", "rt_capacity_cache.json"))
+
+
+def _disk_cache_load() -> dict:
+    import json
+    try:
+        with open(_CAP_CACHE_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _disk_cache_store(key: str, value) -> None:
+    import json
+    try:
+        cache = _disk_cache_load()
+        cache[key] = value
+        tmp = f"{_CAP_CACHE_PATH}.{_os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(cache, f)
+        _os.replace(tmp, _CAP_CACHE_PATH)
+    except OSError:
+        pass  # cache is best-effort
+
+
+def _scene_fingerprint(scene, key) -> str:
+    """Static scene identity for the on-disk capacity cache: the static
+    key tuple plus a hash of the block-grid AABBs (geometry identity —
+    cheap to fetch, and any geometry change that could shift the alive
+    wavefront moves some block AABB)."""
+    import hashlib
+    h = hashlib.sha1(repr(key).encode())
+    h.update(np.asarray(scene.accel.aabb).tobytes())
+    return h.hexdigest()[:16]
+
 
 def auto_capacity_tiles(scene, margin: float = 1.2, **kw) -> int | None:
     """Calibrate the staged scheduler's alive-wavefront capacity.
@@ -504,6 +544,12 @@ def auto_capacity_tiles(scene, margin: float = 1.2, **kw) -> int | None:
         # eagerly here.  Return None (single-sort resume) — callers
         # that want staging warm the cache with one eager render first.
         return None
+    fp = _scene_fingerprint(scene, key)
+    disk = _disk_cache_load()
+    if fp in disk:
+        result = disk[fp]
+        _CAP_CACHE[key] = result
+        return result
     from ..render.renderer import _swizzled_grid
 
     w, h = int(scene.camera.width), int(scene.camera.height)
@@ -516,4 +562,5 @@ def auto_capacity_tiles(scene, margin: float = 1.2, **kw) -> int | None:
         cap *= 2
     result = None if cap * 2 >= nt else cap
     _CAP_CACHE[key] = result
+    _disk_cache_store(fp, result)
     return result

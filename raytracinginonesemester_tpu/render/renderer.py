@@ -32,7 +32,8 @@ from ..ops.integrator import trace_rays
 from ..ops.intersect import FLT_EPSILON, intersect_closest, make_hit_frame
 from ..scene.build import Scene
 
-__all__ = ["render_scene", "render_hw1", "DEFAULT_RAY_TILE"]
+__all__ = ["render_scene", "render_hw1", "resolve_wavefront",
+           "DEFAULT_RAY_TILE"]
 
 DEFAULT_RAY_TILE = 16384
 
@@ -174,56 +175,20 @@ def accumulate_samples(
     return accum
 
 
-def render_scene(
-    scene: Scene,
-    jitter_mode: str = "auto",
-    ray_tile: int = DEFAULT_RAY_TILE,
-    spp_override: Optional[int] = None,
-    sample_offset: Array | int = 0,
-    normalize: bool = True,
-) -> Array:
-    """Render a built scene to a linear (H, W, 3) float32 image.
+def resolve_wavefront(scene: Scene, jitter_mode: str = "auto",
+                      spp_override: Optional[int] = None):
+    """Resolve the (wavefront, capacity) dispatch decision for a scene.
 
-    ``jitter_mode`` picks the sub-pixel sampling scheme:
-
-    - ``"wang"`` — per-(pixel, sample) Wang-hash jitter in [-0.5, 0.5),
-      exactly the CUDA kernel's sequence (``query.cu:36-43``),
-    - ``"reference_cpu"`` — one host-side mt19937(42) offset per sample
-      shared by all pixels, exactly the GPU repo's CPU fallback
-      (``query.cu:137-146``) — the oracle-parity mode,
-    - ``"center"`` — deterministic pixel centers: offset +0.5 in the
-      CPUOnly convention (``CPUOnly/src/render.cpp:127-128`` at spp==1),
-    - ``"auto"`` — gpu dialect -> "wang"; cpuonly -> "center" when spp==1
-      else "wang" (the reference's spp>1 CPUOnly jitter is a non-seeded
-      mt19937 and thus unreproducible; we substitute the wang stream).
-
-    The per-ray RNG seed is ``make_rng_seed(x, y, sample)`` in every mode
-    (``query.h:44-48``), so images are independent of ray-tile size and
-    device sharding.
-
-    ``normalize=False`` returns the raw per-pixel radiance SUM over the
-    spp samples (no ``/spp``) — the accumulation unit for progressive /
-    resumable rendering (``render.progressive``).
+    Reads the RT_WAVEFRONT / RT_WAVEFRONT_CAP env knobs, applies the
+    staged scheduler's eligibility gate, and — when capacity is "auto"
+    — runs the one-emit-dispatch calibration (cached in memory and on
+    disk per scene fingerprint, ``ops.wavefront.auto_capacity_tiles``).
+    Exposed so drivers/benches can warm the calibration without paying
+    a full eager render; ``render_scene`` calls it on every invocation
+    (cached after the first).
     """
-    # RT_WAVEFRONT is read here, OUTSIDE the jitted body, and passed as
-    # a static arg — an env read inside the traced function would be
-    # captured at first trace and masked by the jit cache thereafter.
-    # (The sharded driver also reads it outside jit and runs the staged
-    # scheduler per data shard: full-frame calibration divided across
-    # shards, with the in-graph overflow cond as the safety net;
-    # parallel/sharded.py.)
-    # Default "auto": the staged wavefront scheduler is the production
-    # path for eligible bouncing scenes (measured 189.8 -> 138.4 ms on
-    # the frog 1080p depth-8 workload); "0" forces the monolithic
-    # megakernel, "1" forces wavefront unconditionally.
     wf_env = os.environ.get("RT_WAVEFRONT", "auto")
     wavefront = wf_env in ("1", "auto")
-    # RT_WAVEFRONT_CAP: staged per-bounce scheduling at this alive-
-    # wavefront capacity (tiles); "auto" (default) calibrates with one
-    # emit dispatch (cached per scene; under an outer jit trace it
-    # falls back to the single-sort resume until an eager render warms
-    # the cache).  Capacity is a static perf knob — the staged path
-    # falls back in-graph if it ever proves too small.
     wavefront_cap = None
     cap_env = os.environ.get("RT_WAVEFRONT_CAP", "auto")
     if wavefront and cap_env:
@@ -257,6 +222,53 @@ def render_scene(
         # whole frame, or calibration impossible under an outer trace):
         # the monolithic megakernel beats the single-sort wavefront
         wavefront = False
+    return wavefront, wavefront_cap
+
+
+def render_scene(
+    scene: Scene,
+    jitter_mode: str = "auto",
+    ray_tile: int = DEFAULT_RAY_TILE,
+    spp_override: Optional[int] = None,
+    sample_offset: Array | int = 0,
+    normalize: bool = True,
+) -> Array:
+    """Render a built scene to a linear (H, W, 3) float32 image.
+
+    ``jitter_mode`` picks the sub-pixel sampling scheme:
+
+    - ``"wang"`` — per-(pixel, sample) Wang-hash jitter in [-0.5, 0.5),
+      exactly the CUDA kernel's sequence (``query.cu:36-43``),
+    - ``"reference_cpu"`` — one host-side mt19937(42) offset per sample
+      shared by all pixels, exactly the GPU repo's CPU fallback
+      (``query.cu:137-146``) — the oracle-parity mode,
+    - ``"center"`` — deterministic pixel centers: offset +0.5 in the
+      CPUOnly convention (``CPUOnly/src/render.cpp:127-128`` at spp==1),
+    - ``"auto"`` — gpu dialect -> "wang"; cpuonly -> "center" when spp==1
+      else "wang" (the reference's spp>1 CPUOnly jitter is a non-seeded
+      mt19937 and thus unreproducible; we substitute the wang stream).
+
+    The per-ray RNG seed is ``make_rng_seed(x, y, sample)`` in every mode
+    (``query.h:44-48``), so images are independent of ray-tile size and
+    device sharding.
+
+    ``normalize=False`` returns the raw per-pixel radiance SUM over the
+    spp samples (no ``/spp``) — the accumulation unit for progressive /
+    resumable rendering (``render.progressive``).
+    """
+    # RT_WAVEFRONT / RT_WAVEFRONT_CAP are read OUTSIDE the jitted body
+    # (resolve_wavefront) and passed as static args — an env read
+    # inside the traced function would be captured at first trace and
+    # masked by the jit cache thereafter.
+    # Default "auto": the staged wavefront scheduler is the production
+    # path for eligible bouncing scenes; "0" forces the monolithic
+    # megakernel, "1" forces wavefront unconditionally.  Capacity is a
+    # static perf knob — the staged path falls back in-graph if it
+    # ever proves too small.  (The sharded driver resolves the same
+    # way and runs the staged scheduler per data shard;
+    # parallel/sharded.py.)
+    wavefront, wavefront_cap = resolve_wavefront(
+        scene, jitter_mode, spp_override)
     return _render_scene_jit(
         scene, jitter_mode=jitter_mode, ray_tile=ray_tile,
         spp_override=spp_override, sample_offset=sample_offset,
