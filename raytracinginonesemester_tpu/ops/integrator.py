@@ -30,7 +30,7 @@ from . import shading
 from .intersect import (FLT_EPSILON, HitData, intersect_closest,
                         make_hit_frame, mt_single)
 
-__all__ = ["trace_rays"]
+__all__ = ["trace_rays", "make_bounce_step"]
 
 
 def merge_hits_over_axis(hits, axis_name: str, extra=None):
@@ -69,42 +69,24 @@ def merge_hits_over_axis(hits, axis_name: str, extra=None):
     return merged, ex[best, cols]
 
 
-def trace_rays(
-    origins: Array,
-    dirs: Array,
-    rng_state: Array,
-    scene: Scene,
-    model_axis: str | None = None,
-) -> Array:
-    """Trace a wavefront of rays to completion; returns radiance (R, 3).
+def make_bounce_step(scene: Scene, model_axis: str | None = None):
+    """Build the integrator's single-bounce step for a scene.
 
-    Dialect differences honored (see module docstring of ``ops.shading``):
-
-    =====================  ======================  =====================
-    ..                     gpu                     cpuonly
-    =====================  ======================  =====================
-    det epsilon            1e-8                    FLT_EPSILON
-    ray-offset eps         1e-3                    1e-4
-    traversal tmin         1e-4                    1e-4
-    miss radiance          miss_color              sky gradient
-    diffuse throughput     albedo * 2 * N.L        albedo * total * 2 * N.L
-    mirror throughput      kr * tint               (db ? total : kr) * tint
-    final clamp            [0, 1] per bounce loop  none (clamped at PNG)
-    =====================  ======================  =====================
-
-    (throughput rows cite ``query.h:195-206`` vs ``raytracer.h:240-256``;
-    the GPU path clamps the summed radiance once at loop exit,
-    ``query.h:219``.)
+    Returns ``bounce(carry, _) -> (carry, None)`` over the wavefront
+    carry ``(origins, dirs, throughput, radiance, rng_state, alive)``
+    — the loop body of ``TraceRayIterative`` (query.h:165-216) with
+    the scene's dialect rules, acceleration dispatch, and (under
+    ``model_axis``) the collective hit merges baked in.  Shared by
+    ``trace_rays`` and the compacted sharded scheduler
+    (``parallel.wavefront_sharded``), so the two can never drift.
     """
     gpu = scene.dialect == "gpu"
     det_eps = 1e-8 if gpu else FLT_EPSILON
     offset_eps = shading.RT_EPS_GPU if gpu else shading.RT_EPS_CPUONLY
     tmin = 1e-4  # kRayTMin (query.h:230) == CPUOnly RT_EPS
-    max_depth = scene.max_bounces
     diffuse_bounce = scene.diffuse_bounce
 
     geom = scene.geometry
-    r = origins.shape[0]
 
     # kernel_normals: the gpu dialect's shading-normal hygiene runs inside
     # the Pallas kernel (VMEM planes), skipping make_hit_frame's HBM
@@ -124,14 +106,14 @@ def trace_rays(
         grid_chunks = num_chunks_for(scene.accel)
 
     # detached-diff mode needs differentiable normals (make_hit_frame
-    # gathers), but the fused kernel NORMAL+SHADOW outputs are still
-    # worth computing there: visibility is detached by construction
-    # (a 0/1 step function), so the in-kernel IsInShadow walk replaces
-    # two separate occlusion kernel launches per bounce; only the
-    # kernel normal is discarded in favor of the differentiable
-    # make_hit_frame recompute (see the detached closest_fn below)
+    # gathers), so the in-kernel normal/shadow fusion is disabled there.
+    # (Keeping the fused kernel for its detached shadow visibility was
+    # measured SLOWER on the grad bench — 310 -> 348 ms at 960x540 —
+    # because the kernel's normal+shadow work costs more than the two
+    # occlusion launches it replaces; the separate walks stay.)
     differentiable = bool(getattr(scene, "differentiable", False))
-    kernel_normals = scene.accel is not None and use_pallas and gpu
+    kernel_normals = (scene.accel is not None and use_pallas and gpu
+                      and not differentiable)
     # gpu lights are always point lights; under model sharding each shard
     # only sees its own blocks, so fused visibility would be partial —
     # fall back to the psum'd occlusion kernel there.  Chunked grids
@@ -278,6 +260,7 @@ def trace_rays(
 
     def bounce(carry, _):
         o, d, throughput, radiance, state, alive = carry
+        r = o.shape[0]
 
         # park dead rays at an unreachable origin: every slab test misses,
         # so finished lanes cost the traversal kernels nothing
@@ -385,6 +368,41 @@ def trace_rays(
         alive = bounced & ~tiny
 
         return (o, d, throughput, radiance, state, alive), None
+    return bounce
+
+
+def trace_rays(
+    origins: Array,
+    dirs: Array,
+    rng_state: Array,
+    scene: Scene,
+    model_axis: str | None = None,
+) -> Array:
+    """Trace a wavefront of rays to completion; returns radiance (R, 3).
+
+    Dialect differences honored (see module docstring of ``ops.shading``):
+
+    =====================  ======================  =====================
+    ..                     gpu                     cpuonly
+    =====================  ======================  =====================
+    det epsilon            1e-8                    FLT_EPSILON
+    ray-offset eps         1e-3                    1e-4
+    traversal tmin         1e-4                    1e-4
+    miss radiance          miss_color              sky gradient
+    diffuse throughput     albedo * 2 * N.L        albedo * total * 2 * N.L
+    mirror throughput      kr * tint               (db ? total : kr) * tint
+    final clamp            [0, 1] per bounce loop  none (clamped at PNG)
+    =====================  ======================  =====================
+
+    (throughput rows cite ``query.h:195-206`` vs ``raytracer.h:240-256``;
+    the GPU path clamps the summed radiance once at loop exit,
+    ``query.h:219``.)
+    """
+    bounce = make_bounce_step(scene, model_axis)
+    max_depth = scene.max_bounces
+    gpu = scene.dialect == "gpu"
+    differentiable = bool(getattr(scene, "differentiable", False))
+    r = origins.shape[0]
 
     init = (
         origins,

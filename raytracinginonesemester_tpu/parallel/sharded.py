@@ -203,16 +203,32 @@ def render_scene_sharded(
         return _render_sharded_fast(scene, mesh, spp, wavefront,
                                     jitter_mode, wavefront_cap)
 
+    # staged path: compaction + all_to_all rebalance engage under the
+    # same RT_WAVEFRONT knob as the single-chip scheduler (read here,
+    # outside jit); the plain full-wavefront loop remains at "0".
+    # Scoped to model-sharded scenes: that is the case with no fused
+    # fast path, and re-permuting rays through XLA glue ops is only
+    # float-equivalent (XLA reassociates (R, 3) reductions per shape/
+    # position), so pure-DP keeps the bit-exactly-tiled loop that
+    # test_parallel pins down.
+    compacted = (
+        os.environ.get("RT_WAVEFRONT", "auto") in ("1", "auto")
+        and scene.accel is not None
+        and int(scene.max_bounces) > 1
+        and model_axis is not None
+        and mesh.shape.get(model_axis, 1) > 1
+    )
     return _render_sharded_staged(
-        scene, mesh, jitter_mode, ray_tile, spp, model_axis)
+        scene, mesh, jitter_mode, ray_tile, spp, model_axis, compacted)
 
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "jitter_mode", "ray_tile", "spp", "model_axis"),
+    static_argnames=("mesh", "jitter_mode", "ray_tile", "spp", "model_axis",
+                     "compacted"),
 )
 def _render_sharded_staged(scene, mesh, jitter_mode, ray_tile, spp,
-                           model_axis):
+                           model_axis, compacted=False):
     """The staged (XLA integrator) sharded render: the general path,
     required whenever triangle blocks shard over a model axis."""
     w, h = scene.camera.width, scene.camera.height
@@ -273,6 +289,17 @@ def _render_sharded_staged(scene, mesh, jitter_mode, ray_tile, spp,
             py = ys_l.astype(jnp.float32) + jy
             origins, dirs = scene_local.camera.get_rays(px, py)
             seeds = rnglib.make_rng_seed(xs_l, ys_l, s)
+
+            if compacted:
+                # sort-compacted bounces + all_to_all alive rebalance
+                # over the data axis (parallel.wavefront_sharded);
+                # bit-identical to the tiled loop below on the same
+                # backend — per-ray math never depends on placement
+                from .wavefront_sharded import trace_rays_compacted
+
+                return trace_rays_compacted(
+                    origins, dirs, seeds, scene_local, model_axis,
+                    "data", mesh.shape["data"])
 
             # tile the local rays to bound live memory
             tile = min(ray_tile, n_local)

@@ -138,3 +138,49 @@ def test_dp8_fast_path_cpuonly_bit_identical():
     img_s = np.asarray(render_scene_sharded(scene, mesh))
     img_r = np.asarray(render_scene(scene))
     np.testing.assert_array_equal(img_s, img_r)
+
+
+def test_dp2_tp4_compacted_matches_plain(scene, monkeypatch):
+    """The compacted + all_to_all-rebalanced staged scheduler
+    (parallel.wavefront_sharded) runs the same bounce step
+    (make_bounce_step) on permuted rays, so images match the plain
+    full-wavefront staged loop up to XLA's shape/position-dependent
+    reassociation of the glue's (R, 3) reductions (the same ~1e-5
+    contract as the dp x tp vs single-device tests; bit-identity under
+    permutation is a Pallas-kernel property, not an XLA-glue one) —
+    and match the single-device image at that tolerance too."""
+    mesh = make_mesh((2, 4), ("data", "model"))
+    monkeypatch.setenv("RT_WAVEFRONT", "0")
+    plain = np.asarray(render_scene_sharded(
+        scene, mesh, jitter_mode="reference_cpu", model_axis="model"))
+    monkeypatch.setenv("RT_WAVEFRONT", "1")
+    compact = np.asarray(render_scene_sharded(
+        scene, mesh, jitter_mode="reference_cpu", model_axis="model"))
+    np.testing.assert_allclose(compact, plain, atol=2e-5)
+    single = np.asarray(render_scene(scene, jitter_mode="reference_cpu"))
+    np.testing.assert_allclose(compact, single, atol=2e-5)
+
+
+def test_dp4_tp2_compacted_tiny_capacity_overflow(scene, monkeypatch):
+    """A deliberately tiny alive capacity must flip the in-graph
+    overflow cond (pmax'd so all shards agree) to the full-width loop
+    — never drop rays."""
+    from raytracinginonesemester_tpu.parallel import wavefront_sharded as ws
+    from raytracinginonesemester_tpu.parallel.sharded import (
+        _render_sharded_staged)
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    plain = np.asarray(_render_sharded_staged(
+        scene, mesh, "reference_cpu", 16384, 1, "model", compacted=False))
+
+    orig = ws.trace_rays_compacted
+
+    def tiny_cap(*a, **k):
+        k["capacity"] = 8
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ws, "trace_rays_compacted", tiny_cap)
+    # the monkeypatched fn is read at trace time inside the shard body
+    compact = np.asarray(_render_sharded_staged(
+        scene, mesh, "reference_cpu", 16384, 1, "model", compacted=True))
+    np.testing.assert_allclose(compact, plain, atol=2e-5)
