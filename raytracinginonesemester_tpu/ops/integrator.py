@@ -32,6 +32,12 @@ from .intersect import (FLT_EPSILON, HitData, intersect_closest,
 
 __all__ = ["trace_rays", "make_bounce_step"]
 
+import os as _os
+
+# read ONCE at import (an env read at trace time would be captured by
+# the first trace and masked by the jit cache)
+_STREAM_ENV = _os.environ.get("RT_STREAM", "1") == "1"
+
 
 def merge_hits_over_axis(hits, axis_name: str, extra=None):
     """Min-t merge of per-shard HitData across a mesh axis.
@@ -97,13 +103,18 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
         # auto: fused kernels on real TPU; interpret mode is test-only
         use_pallas = jax.default_backend() == "tpu"
     grid_chunks = 1
+    streamed = False
     if use_pallas and scene.accel is not None:
         from .pallas_kernels import num_chunks_for
 
-        # scenes whose planes exceed VMEM run the same kernel over
-        # Morton-contiguous block chunks with a (t, id) merge — results
-        # are bit-identical to a single-launch render (test_pallas.py)
+        # scenes whose planes exceed VMEM: default to the streamed
+        # kernels (ONE launch; planes stay in HBM and DMA through a
+        # double-buffered VMEM window, pallas_kernels "streamed
+        # variants"); RT_STREAM=0 falls back to the launch-per-chunk
+        # variants.  Results are bit-identical either way
+        # (test_pallas.py): same visit math, same (t, id) tie-break.
         grid_chunks = num_chunks_for(scene.accel)
+        streamed = grid_chunks > 1 and _STREAM_ENV
 
     # detached-diff mode needs differentiable normals (make_hit_frame
     # gathers), so the in-kernel normal/shadow fusion is disabled there.
@@ -113,7 +124,7 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
     # occlusion launches it replaces; the separate walks stay.)
     differentiable = bool(getattr(scene, "differentiable", False))
     kernel_normals = (scene.accel is not None and use_pallas and gpu
-                      and not differentiable)
+                      and not differentiable and not streamed)
     # gpu lights are always point lights; under model sharding each shard
     # only sees its own blocks, so fused visibility would be partial —
     # fall back to the psum'd occlusion kernel there.  Chunked grids
@@ -143,6 +154,23 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
 
             def occlude_local(o, d, s_tmin, s_tmax):
                 return pallas_block_occluded(
+                    o, d, scene.accel, tmin=s_tmin, tmax=s_tmax,
+                    det_eps=det_eps, interpret=interp,
+                )
+        elif streamed:
+            from .pallas_kernels import (
+                pallas_block_closest_streamed,
+                pallas_block_occluded_streamed,
+            )
+
+            def closest_local(o, d):
+                return pallas_block_closest_streamed(
+                    o, d, scene.accel, tmin=tmin, det_eps=det_eps,
+                    interpret=interp,
+                )
+
+            def occlude_local(o, d, s_tmin, s_tmax):
+                return pallas_block_occluded_streamed(
                     o, d, scene.accel, tmin=s_tmin, tmax=s_tmax,
                     det_eps=det_eps, interpret=interp,
                 )

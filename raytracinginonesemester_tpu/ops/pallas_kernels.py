@@ -50,11 +50,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .intersect import F32_MAX, HitData
-from .accel import BlockGrid, tile_visit_plan_fast
+from .accel import SUPER, BlockGrid, tile_visit_plan_fast
 
 __all__ = ["fits_vmem", "num_chunks_for", "pallas_block_closest",
            "pallas_block_occluded", "pallas_block_closest_chunked",
-           "pallas_block_occluded_chunked", "RAY_TILE"]
+           "pallas_block_occluded_chunked",
+           "pallas_block_closest_streamed",
+           "pallas_block_occluded_streamed", "RAY_TILE"]
 
 # rays per kernel program.  512 won the terminal-workload sweep
 # (scripts/probe_ray_tile.py); override for experiments with RT_RAY_TILE.
@@ -776,3 +778,335 @@ def pallas_block_occluded_chunked(
         )
         blocked = bc if blocked is None else (blocked | bc)
     return blocked
+
+
+# --- streamed variants: triangle planes stay in HBM, the kernel DMAs
+# superblocks through a VMEM double buffer ---
+#
+# The chunked variants above re-LAUNCH the kernel per chunk: every
+# chunk pays plan build + ray staging + result merge, and every ray
+# tile visits every chunk's plan even when front-to-back pruning would
+# have stopped after the first blocks.  The streamed kernel instead
+# keeps the whole grid in HBM and walks ONE front-to-back plan,
+# `pltpu.make_async_copy`-ing each candidate superblock (8 blocks x 9
+# planes) into one half of a VMEM double buffer while the dense visits
+# consume the other half — the TPU restatement of the reference's
+# global-memory BVH traversal (``query.h:224-311`` reads node/triangle
+# data from HBM through the cache; here the "cache" is an explicitly
+# scheduled double buffer).  Early exit carries over unchanged, so a
+# tile that resolves in its first superblocks never streams the rest
+# of the scene.  Results are bit-identical to the resident/chunked
+# kernels: same _mt_block math, same (t, global id) tie-break.
+
+
+def _stream_grid_operands(grid: BlockGrid):
+    """(tri_hbm (LS*72, B), ids_hbm (LS*8, B), aabb rows, LS): the
+    block axis padded to whole superblocks so every DMA is in range;
+    padding blocks carry ids == -1 and never contribute hits."""
+    l, b = grid.tri_index.shape
+    ls = -(-l // SUPER)
+    pad = ls * SUPER - l
+    tri = grid.tri
+    ids = grid.tri_index
+    if pad:
+        tri = jnp.concatenate(
+            [tri, jnp.zeros((9, pad, b), tri.dtype)], axis=1)
+        ids = jnp.concatenate([ids, jnp.full((pad, b), -1, jnp.int32)])
+    # block-major rows: rows [blk*9, blk*9+9) are one block's planes,
+    # so a superblock is one contiguous (72, B) DMA
+    tri_hbm = tri.transpose(1, 0, 2).reshape(ls * SUPER * 9, b)
+    aabb_rows = jnp.pad(grid.aabb.T, (((0, (-l) % 8)), (0, 2)))  # (Lp, 8)
+    return tri_hbm, ids, aabb_rows, ls
+
+
+def _streamed_walk(num_supers, row, order_ref, entry_ref,
+                   tri_hbm, ids_hbm, tri_buf, ids_buf, tri_sem, ids_sem,
+                   stop_fn, visit_fn):
+    """Shared double-buffered plan walk for the streamed kernels.
+
+    ``stop_fn() -> bool``: extra loop-continue condition (front-to-back
+    early exit).  ``visit_fn(slot, sb)``: consume the superblock in
+    buffer ``slot``.  Exactly one copy is outstanding at every point:
+    the pre-loop issue fills slot 0; each body waits its slot, issues
+    the NEXT (clamped) superblock into the other slot, then visits; the
+    drain after the loop retires the last outstanding copy.
+    """
+    def issue(slot, k):
+        sb = order_ref[row, jnp.minimum(k, num_supers - 1)]
+        pltpu.make_async_copy(
+            tri_hbm.at[pl.ds(sb * (SUPER * 9), SUPER * 9), :],
+            tri_buf.at[slot], tri_sem.at[slot],
+        ).start()
+        pltpu.make_async_copy(
+            ids_hbm.at[pl.ds(sb * SUPER, SUPER), :],
+            ids_buf.at[slot], ids_sem.at[slot],
+        ).start()
+
+    def wait(slot):
+        pltpu.make_async_copy(
+            tri_hbm.at[pl.ds(0, SUPER * 9), :], tri_buf.at[slot],
+            tri_sem.at[slot],
+        ).wait()
+        pltpu.make_async_copy(
+            ids_hbm.at[pl.ds(0, SUPER), :], ids_buf.at[slot],
+            ids_sem.at[slot],
+        ).wait()
+
+    issue(0, jnp.int32(0))
+
+    def cond(k):
+        in_range = k < num_supers
+        next_entry = entry_ref[row, jnp.minimum(k, num_supers - 1)]
+        return in_range & stop_fn(next_entry)
+
+    def body(k):
+        slot = jax.lax.rem(k, 2)
+        wait(slot)
+        issue(1 - slot, k + 1)
+        sb = order_ref[row, k]
+        visit_fn(slot, sb)
+        return k + 1
+
+    k_end = jax.lax.while_loop(cond, body, jnp.int32(0))
+    wait(jax.lax.rem(k_end, 2))  # drain the one outstanding prefetch
+
+
+def _closest_streamed_kernel(det_eps, num_blocks, num_supers, block_size,
+                             lane_ref, aabb_ref, order_ref, entry_ref,
+                             tri_hbm, ids_hbm,
+                             t_out, u_out, v_out, idx_out,
+                             t_lane, t_col, u_col, v_col, idx_col,
+                             tri_buf, ids_buf, tri_sem, ids_sem):
+    o, d, tmin, _ = _load_rays_cols(lane_ref)
+    o_l, d_l, tmin_l, _ = _load_rays_lane(lane_ref)
+    inv_l = tuple(1.0 / c for c in d_l)
+    rt = t_col.shape[0]
+    t_col[:] = jnp.full((rt, 1), F32_MAX, jnp.float32)
+    t_lane[:] = jnp.full((1, rt), F32_MAX, jnp.float32)
+    u_col[:] = jnp.zeros((rt, 1), jnp.float32)
+    v_col[:] = jnp.zeros((rt, 1), jnp.float32)
+    idx_col[:] = jnp.full((rt, 1), -1, jnp.int32)
+    row = jax.lax.rem(pl.program_id(0), 8)
+
+    def visit(slot, sb):
+        for j in range(SUPER):
+            b = sb * SUPER + j
+            b_c = jnp.minimum(b, num_blocks - 1)
+            boxed = _tile_slab(aabb_ref, b_c, o_l, inv_l, tmin_l, t_lane[:])
+            do_visit = jnp.any(boxed) & (b < num_blocks)
+
+            @pl.when(do_visit)
+            def _(j=j):
+                tri = tuple(
+                    tri_buf[slot, pl.ds(j * 9 + k_, 1), :] for k_ in range(9)
+                )
+                ids = ids_buf[slot, pl.ds(j, 1), :]
+                t, u, v = _mt_block(o, d, tri, det_eps, tmin, t_col[:])
+                t = jnp.where(ids >= 0, t, F32_MAX)
+                min_t = jnp.min(t, axis=1, keepdims=True)
+                at_min = t == min_t
+                id_key = jnp.where(at_min & (ids >= 0), ids, _INT_MAX)
+                best_id = jnp.min(id_key, axis=1, keepdims=True)
+                old_t = t_col[:]
+                old_idx = idx_col[:]
+                old_key = jnp.where(old_idx >= 0, old_idx, _INT_MAX)
+                take = (min_t < F32_MAX) & (
+                    (min_t < old_t)
+                    | ((min_t == old_t) & (best_id < old_key))
+                )
+
+                @pl.when(jnp.any(take))
+                def _():
+                    new_t = jnp.where(take, min_t, old_t)
+                    t_col[:] = new_t
+                    t_lane[:] = _to_lane(new_t)
+                    idx_col[:] = jnp.where(take, best_id, old_idx)
+                    pick = at_min & (id_key == best_id)
+                    sel_u = jnp.sum(jnp.where(pick, u, 0.0), axis=1,
+                                    keepdims=True)
+                    sel_v = jnp.sum(jnp.where(pick, v, 0.0), axis=1,
+                                    keepdims=True)
+                    u_col[:] = jnp.where(take, sel_u, u_col[:])
+                    v_col[:] = jnp.where(take, sel_v, v_col[:])
+
+    _streamed_walk(num_supers, row, order_ref, entry_ref,
+                   tri_hbm, ids_hbm, tri_buf, ids_buf, tri_sem, ids_sem,
+                   lambda next_entry: next_entry <= jnp.max(t_lane[:]),
+                   visit)
+
+    t_out[pl.ds(row, 1), :] = t_lane[:]
+    u_out[pl.ds(row, 1), :] = _to_lane(u_col[:])
+    v_out[pl.ds(row, 1), :] = _to_lane(v_col[:])
+    idx_out[pl.ds(row, 1), :] = _to_lane(idx_col[:])
+
+
+@partial(jax.jit, static_argnames=("det_eps", "interpret"))
+def pallas_block_closest_streamed(
+    origins: Array,
+    dirs: Array,
+    grid: BlockGrid,
+    tmin=1e-4,
+    *,
+    det_eps: float = 1e-8,
+    interpret: bool = False,
+) -> HitData:
+    """Closest hit with HBM-resident triangle planes streamed through a
+    double-buffered VMEM window — ONE launch for scenes of any size
+    (vs ``pallas_block_closest_chunked``'s launch-per-chunk).  Returns
+    HitData only (no in-kernel normals: callers recompute the shading
+    frame via ``make_hit_frame``, whose gathers are the cheap part at
+    streaming scale)."""
+    r = origins.shape[0]
+    l, b = grid.tri_index.shape
+    rays, rp = _prep_rays(origins, dirs, tmin, F32_MAX)
+    lane = _lane_major_rays(rays, RAY_TILE)
+    order, entry, _ = tile_visit_plan_fast(
+        rays[:, 0:3], rays[:, 3:6], grid, rays[:, 6], rays[:, 7], RAY_TILE
+    )
+    order, entry = _pad_plan_rows(order, entry)
+    ls = order.shape[1]
+    tri_hbm, ids_hbm, aabb_rows, _ = _stream_grid_operands(grid)
+
+    nt = rp // RAY_TILE
+    out_row = lambda: pl.BlockSpec(
+        (8, RAY_TILE), lambda i: (i // 8, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pl.GridSpec(
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # aabb rows (small)
+            pl.BlockSpec((8, ls), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, ls), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tri planes, HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # ids, HBM
+        ],
+        out_specs=[out_row() for _ in range(4)],
+        scratch_shapes=[
+            pltpu.VMEM((1, RAY_TILE), jnp.float32),   # t_lane
+            pltpu.VMEM((RAY_TILE, 1), jnp.float32),   # t_col
+            pltpu.VMEM((RAY_TILE, 1), jnp.float32),   # u_col
+            pltpu.VMEM((RAY_TILE, 1), jnp.float32),   # v_col
+            pltpu.VMEM((RAY_TILE, 1), jnp.int32),     # idx_col
+            pltpu.VMEM((2, SUPER * 9, b), jnp.float32),  # tri double buffer
+            pltpu.VMEM((2, SUPER, b), jnp.int32),        # ids double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    dtypes = [jnp.float32, jnp.float32, jnp.float32, jnp.int32]
+    outs = pl.pallas_call(
+        partial(_closest_streamed_kernel, det_eps, l, ls, b),
+        out_shape=[jax.ShapeDtypeStruct((nt, RAY_TILE), dt) for dt in dtypes],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(lane, aabb_rows, order, entry, tri_hbm, ids_hbm)
+    t, u, v, idx = (a.reshape(rp)[:r] for a in outs)
+    return HitData(t=t, u=u, v=v, tri_idx=idx, hit=idx >= 0)
+
+
+def _occluded_streamed_kernel(det_eps, num_blocks, num_supers, block_size,
+                              lane_ref, aabb_ref, order_ref, entry_ref,
+                              tri_hbm, ids_hbm, out_ref,
+                              blk_lane, tri_buf, ids_buf, tri_sem, ids_sem):
+    o, d, tmin, tmax = _load_rays_cols(lane_ref)
+    o_l, d_l, tmin_l, tmax_l = _load_rays_lane(lane_ref)
+    inv_l = tuple(1.0 / c for c in d_l)
+    rt = out_ref.shape[1]
+    blk_lane[:] = jnp.zeros((1, rt), jnp.float32)
+    row = jax.lax.rem(pl.program_id(0), 8)
+
+    def visit(slot, sb):
+        for j in range(SUPER):
+            b = sb * SUPER + j
+            b_c = jnp.minimum(b, num_blocks - 1)
+            unresolved = blk_lane[:] == 0.0
+            boxed = (
+                _tile_slab(aabb_ref, b_c, o_l, inv_l, tmin_l, tmax_l)
+                & unresolved
+            )
+            do_visit = jnp.any(boxed) & (b < num_blocks)
+
+            @pl.when(do_visit)
+            def _(j=j):
+                tri = tuple(
+                    tri_buf[slot, pl.ds(j * 9 + k_, 1), :] for k_ in range(9)
+                )
+                ids = ids_buf[slot, pl.ds(j, 1), :]
+                t, _, _ = _mt_block(o, d, tri, det_eps, tmin, tmax)
+                t = jnp.where(ids >= 0, t, F32_MAX)
+                hit = jnp.min(t, axis=1, keepdims=True) < F32_MAX
+                blk_lane[:] = jnp.maximum(
+                    blk_lane[:], _to_lane(hit.astype(jnp.float32))
+                )
+
+    _streamed_walk(
+        num_supers, row, order_ref, entry_ref,
+        tri_hbm, ids_hbm, tri_buf, ids_buf, tri_sem, ids_sem,
+        lambda next_entry: (next_entry < jnp.inf)
+        & jnp.any(blk_lane[:] == 0.0),
+        visit)
+
+    out_ref[pl.ds(row, 1), :] = (blk_lane[:] > 0.0).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("det_eps", "interpret"))
+def pallas_block_occluded_streamed(
+    origins: Array,
+    dirs: Array,
+    grid: BlockGrid,
+    tmin=1e-4,
+    tmax=F32_MAX,
+    *,
+    det_eps: float = 1e-8,
+    interpret: bool = False,
+) -> Array:
+    """Any-hit occlusion with HBM-streamed planes (one launch; early
+    exit once every lane is blocked or the plan runs out)."""
+    r = origins.shape[0]
+    l, b = grid.tri_index.shape
+    rays, rp = _prep_rays(origins, dirs, tmin, tmax)
+    lane = _lane_major_rays(rays, RAY_TILE)
+    order, entry, _ = tile_visit_plan_fast(
+        rays[:, 0:3], rays[:, 3:6], grid, rays[:, 6], rays[:, 7], RAY_TILE
+    )
+    order, entry = _pad_plan_rows(order, entry)
+    ls = order.shape[1]
+    tri_hbm, ids_hbm, aabb_rows, _ = _stream_grid_operands(grid)
+
+    nt = rp // RAY_TILE
+    grid_spec = pl.GridSpec(
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, ls), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, ls), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, RAY_TILE), lambda i: (i // 8, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, RAY_TILE), jnp.float32),
+            pltpu.VMEM((2, SUPER * 9, b), jnp.float32),
+            pltpu.VMEM((2, SUPER, b), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    (blocked,) = pl.pallas_call(
+        partial(_occluded_streamed_kernel, det_eps, l, ls, b),
+        out_shape=[jax.ShapeDtypeStruct((nt, RAY_TILE), jnp.int32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(lane, aabb_rows, order, entry, tri_hbm, ids_hbm)
+    return blocked.reshape(rp)[:r] > 0

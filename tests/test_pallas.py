@@ -262,3 +262,45 @@ def test_render_scene_chunked_identical(monkeypatch):
     np.testing.assert_array_equal(chunked, chunked2)  # chunk-count invariant
     diff_px = (np.abs(base - chunked).max(-1) > 1e-5).sum()
     assert diff_px <= 3, f"{diff_px} pixels differ vs unchunked base"
+
+
+def test_streamed_kernels_match_xla_block_path():
+    """The HBM-streamed (double-buffered DMA) kernels must be
+    bit-identical to the XLA block path: same _mt_block math, same
+    (t, global id) tie-break — streaming only changes WHERE the planes
+    live, never which winner a ray picks."""
+    import jax.numpy as jnp
+
+    from raytracinginonesemester_tpu.ops.accel import (block_closest,
+                                                       block_occluded,
+                                                       build_block_grid)
+    from raytracinginonesemester_tpu.ops.pallas_kernels import (
+        pallas_block_closest_streamed, pallas_block_occluded_streamed)
+
+    rs = np.random.RandomState(7)
+    t = 4096
+    tris = jnp.asarray(rs.uniform(-1, 1, (t, 3, 3)).astype(np.float32))
+    grid = build_block_grid(tris, jnp.asarray(t), block_size=128)
+    r = 1024
+    o = jnp.asarray(np.tile([0.0, -3.0, 0.0], (r, 1)).astype(np.float32))
+    d = rs.uniform(-1, 1, (r, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+
+    ref = block_closest(o, d, grid, tmin=1e-4, det_eps=1e-8)
+    st = pallas_block_closest_streamed(o, d, grid, tmin=1e-4,
+                                       det_eps=1e-8, interpret=True)
+    assert int(np.sum(np.asarray(ref.hit))) > 0
+    np.testing.assert_array_equal(np.asarray(ref.tri_idx),
+                                  np.asarray(st.tri_idx))
+    hit = np.asarray(ref.hit)
+    np.testing.assert_array_equal(np.asarray(ref.t)[hit],
+                                  np.asarray(st.t)[hit])
+    np.testing.assert_array_equal(np.asarray(ref.u)[hit],
+                                  np.asarray(st.u)[hit])
+
+    tmax = jnp.full(r, 2.5)
+    occ_ref = block_occluded(o, d, grid, tmin=1e-4, tmax=tmax, det_eps=1e-8)
+    occ_st = pallas_block_occluded_streamed(o, d, grid, tmin=1e-4,
+                                            tmax=tmax, det_eps=1e-8,
+                                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ_ref), np.asarray(occ_st))
