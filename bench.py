@@ -238,9 +238,13 @@ def main():
     from raytracinginonesemester_tpu.ops.lbvh import build_lbvh
     from raytracinginonesemester_tpu.utils.timing import measure
 
+    # median of 7: the tunnel adds multi-10ms noise spikes that a
+    # median of 3 let through (BENCH_r02 recorded a phantom 74%
+    # "regression" — lbvh.py was byte-identical between rounds; re-
+    # measured at round-1 levels, see docs/DESIGN.md round 3)
     lbvh_stats = measure(
         lambda v: build_lbvh(v).aabb_min, scene.geometry.vertices,
-        warmup=1, iters=3,
+        warmup=1, iters=7,
     )
     print(f"LBVH build ({scene.geometry.padded_triangles} tris): "
           f"{lbvh_stats['median_s'] * 1e3:.2f} ms", file=sys.stderr)

@@ -42,7 +42,8 @@ from jax import Array
 from .intersect import F32_MAX, HitData
 from .lbvh import morton_codes, triangle_aabbs
 
-__all__ = ["BlockGrid", "build_block_grid", "block_closest", "block_occluded",
+__all__ = ["BlockGrid", "build_block_grid", "build_block_grid_treelet",
+           "block_closest", "block_occluded",
            "tile_visit_plan", "tile_visit_plan_fast"]
 
 
@@ -504,3 +505,132 @@ def block_occluded(
         cond, body, (jnp.asarray(0, jnp.int32), jnp.zeros((r,), bool))
     )
     return blocked
+
+
+def _find_split_np(codes: np.ndarray, lo: int, hi: int) -> int:
+    """Karras ``find_split`` on host numpy (``bvh.h:219-257``): the last
+    index in [lo, hi) sharing more leading Morton bits with ``codes[lo]``
+    than lo and hi share."""
+    first, last = int(codes[lo]), int(codes[hi])
+    if first == last:
+        return lo + (hi - lo + 1) // 2 - 1  # equal codes: median split
+    common = 32 - (first ^ last).bit_length()
+    split, step = lo, hi - lo + 1
+    while step > 1:
+        step = (step + 1) // 2
+        nxt = split + step
+        if nxt < hi:
+            code = int(codes[nxt])
+            prefix = 64 if code == first else 32 - (first ^ code).bit_length()
+            if prefix > common:
+                split = nxt
+    return split
+
+
+def _treelet_ranges(codes: np.ndarray, block_size: int):
+    """Partition the sorted leaf array into LBVH-subtree-aligned ranges
+    of at most ``block_size``: recursively split each range at its
+    highest differing Morton bit until it fits.  Every emitted range is
+    a complete Karras subtree, so its AABB is exactly an LBVH internal
+    node's — tighter than a fixed run straddling a big split."""
+    out = []
+    stack = [(0, len(codes) - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo + 1 <= block_size:
+            out.append((lo, hi))
+            continue
+        mid = _find_split_np(codes, lo, hi)
+        stack.append((mid + 1, hi))
+        stack.append((lo, mid))
+    out.sort()
+    return out
+
+
+def build_block_grid_treelet(vertices: Array, num_valid, block_size: int = 512,
+                             normals: Array = None,
+                             obj_ids: Array = None) -> BlockGrid:
+    """Block grid with LBVH-TREELET-aligned blocks (the LBVH's
+    production role): blocks are complete Karras subtrees of at most
+    ``block_size`` triangles, padded to ``block_size`` lanes with dead
+    slots (id -1, masked everywhere).
+
+    Measured on the frog camera pass (scripts/probe_treelet_blocks.py):
+    39 full Morton-run blocks -> 70 treelet blocks at 55% fill, but
+    tile-hull visits drop 2815 -> 1785 and dense Moller-Trumbore pairs
+    (padding included) to 0.63x.  Images are bit-identical to the runs
+    layout: winners tie-break on (t, global triangle id), which is
+    partition-invariant, and the per-pair math does not depend on lane
+    placement inside Mosaic kernels.
+
+    HOST-SIDE build (numpy recursion over concrete Morton codes) — for
+    traced rebuilds (e.g. the detached-diff ``apply_params`` path) use
+    ``build_block_grid``, whose shapes are static.
+    """
+    v_np = np.asarray(vertices)
+    t = v_np.shape[0]
+    nv = int(num_valid)
+    if normals is None:
+        normals = jnp.zeros_like(vertices)
+    if obj_ids is None:
+        obj_ids = jnp.zeros(t, jnp.int32)
+
+    leaf_min, leaf_max = triangle_aabbs(vertices)
+    lmin, lmax = np.asarray(leaf_min), np.asarray(leaf_max)
+    valid = np.arange(t) < nv
+    smin = np.where(valid[:, None], lmin, np.inf).min(0)
+    smax = np.where(valid[:, None], lmax, -np.inf).max(0)
+    centroid = 0.5 * (lmin + lmax)
+    ext = np.where(smax - smin == 0, 1.0, smax - smin)
+    codes = np.asarray(morton_codes(jnp.asarray(
+        (centroid - smin) / ext, dtype=jnp.float32)))
+    codes = np.where(valid, codes, np.uint32(0xFFFFFFFF))
+    order = np.argsort(codes, kind="stable").astype(np.int32)
+    order = order[valid[order]]  # (nv,) sorted real triangles
+    ranges = _treelet_ranges(codes[order], block_size)
+
+    l = len(ranges)
+    slot_index = np.full((l, block_size), -1, np.int32)
+    for b, (lo, hi) in enumerate(ranges):
+        slot_index[b, : hi - lo + 1] = order[lo:hi + 1]
+
+    flat = jnp.asarray(slot_index.reshape(-1))
+    safe = jnp.maximum(flat, 0)
+    ok = (flat >= 0)[:, None]
+    sv = jnp.where(ok[:, :, None], vertices[safe], 0.0)  # (l*B, 3, 3)
+    v0 = sv[:, 0]
+    e1 = sv[:, 1] - v0
+    e2 = sv[:, 2] - v0
+    tri = jnp.stack(
+        [v0[:, 0], v0[:, 1], v0[:, 2],
+         e1[:, 0], e1[:, 1], e1[:, 2],
+         e2[:, 0], e2[:, 1], e2[:, 2]]
+    ).reshape(9, l, block_size)
+
+    sn = jnp.where(ok[:, :, None], normals[safe], 0.0)
+    g = jnp.cross(e1, e2)
+    g = g / jnp.sqrt(jnp.maximum(jnp.sum(g * g, -1, keepdims=True), 1e-38))
+    norm = jnp.stack(
+        [sn[:, 0, 0], sn[:, 0, 1], sn[:, 0, 2],
+         sn[:, 1, 0], sn[:, 1, 1], sn[:, 1, 2],
+         sn[:, 2, 0], sn[:, 2, 1], sn[:, 2, 2],
+         g[:, 0], g[:, 1], g[:, 2]]
+    ).reshape(12, l, block_size)
+
+    obj_plane = jnp.where(
+        flat >= 0, jnp.asarray(obj_ids, jnp.int32)[safe], -1
+    ).reshape(l, block_size)
+
+    bmin = np.where(slot_index.reshape(-1, 1) >= 0,
+                    lmin[np.maximum(slot_index.reshape(-1), 0)], np.inf)
+    bmax = np.where(slot_index.reshape(-1, 1) >= 0,
+                    lmax[np.maximum(slot_index.reshape(-1), 0)], -np.inf)
+    block_min = bmin.reshape(l, block_size, 3).min(axis=1)
+    block_max = bmax.reshape(l, block_size, 3).max(axis=1)
+    aabb = jnp.asarray(np.concatenate([block_min.T, block_max.T],
+                                      axis=0).astype(np.float32))
+
+    return BlockGrid(
+        tri=tri, norm=norm, tri_index=jnp.asarray(slot_index),
+        obj=obj_plane, aabb=aabb, block_size=block_size,
+    )

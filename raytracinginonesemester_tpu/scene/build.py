@@ -169,19 +169,37 @@ def build_scene(config: SceneConfig, scene_path: str = ".", accel: str = "blocks
 
     accel_struct = None
     if accel == "blocks":
-        from ..ops.accel import build_block_grid
+        from ..ops.accel import build_block_grid, build_block_grid_treelet
 
-        accel_struct = build_block_grid(
-            geometry.vertices, jnp.asarray(geometry.num_triangles),
-            normals=geometry.normals, obj_ids=geometry.obj_id,
-            # 512-triangle blocks measured fastest on the frog depth-8
-            # workload (199.5 vs 215.7 ms at 128): same dense arithmetic,
-            # 4x fewer scan iterations / per-visit fixed costs, and the
-            # looser per-block slabs cost less than the saved overhead.
-            # Results are bit-identical across block sizes (tie-break on
-            # global triangle id).
-            block_size=int(os.environ.get("RT_BLOCK_SIZE", "512")),
-        )
+        # 512-triangle blocks measured fastest on the frog depth-8
+        # workload (199.5 vs 215.7 ms at 128): same dense arithmetic,
+        # 4x fewer scan iterations / per-visit fixed costs, and the
+        # looser per-block slabs cost less than the saved overhead.
+        # Results are bit-identical across block sizes AND layouts
+        # (tie-break on global triangle id).
+        block_size = int(os.environ.get("RT_BLOCK_SIZE", "512"))
+        # Block layout: "runs" (default) = fixed Morton runs, 100% lane
+        # fill.  "treelet" cuts blocks at LBVH subtree boundaries —
+        # MEASURED TIGHTER on the hull proxy (0.63x camera-pass dense
+        # pairs on frog, scripts/probe_treelet_blocks.py) yet SLOWER
+        # on-chip (151 vs 84 ms, frog 1080p depth-8 staged wavefront):
+        # 1.8x the block count means 1.8x scan iterations, slab tests
+        # and VMEM planes, and every firing visit still runs the full
+        # (RT, B) dense test on 55%-filled blocks.  Kept as the
+        # measured block-quality comparison (docs/DESIGN.md round 3).
+        layout = os.environ.get("RT_BLOCK_LAYOUT", "runs")
+        if layout == "treelet":
+            accel_struct = build_block_grid_treelet(
+                geometry.vertices, geometry.num_triangles,
+                normals=geometry.normals, obj_ids=geometry.obj_id,
+                block_size=block_size,
+            )
+        else:
+            accel_struct = build_block_grid(
+                geometry.vertices, jnp.asarray(geometry.num_triangles),
+                normals=geometry.normals, obj_ids=geometry.obj_id,
+                block_size=block_size,
+            )
     elif accel not in (None, "none", "bruteforce"):
         raise ValueError(f"unknown accel {accel!r}")
 

@@ -184,3 +184,36 @@ def test_monolithic_chunked_visits_bit_identical():
     a = np.asarray(render_tiles(scene, xs, ys, 1, interpret=True, chunk=0))
     b = np.asarray(render_tiles(scene, xs, ys, 1, interpret=True, chunk=64))
     np.testing.assert_array_equal(a, b)
+
+
+def test_block_layouts_bit_identical():
+    """Morton-run and LBVH-treelet block layouts must render the SAME
+    image bit for bit: the winner selection ties break on (t, global
+    triangle id), which is partition-invariant, and per-pair math never
+    depends on lane placement."""
+    import os
+
+    from raytracinginonesemester_tpu.ops.accel import (
+        build_block_grid, build_block_grid_treelet)
+
+    scene = _two_frog_scene(width=64, height=32, diffuse_bounce=True,
+                            max_bounces=3)
+    scene = dataclasses.replace(scene, terminal_only=False)
+    geom = scene.geometry
+    runs = build_block_grid(
+        geom.vertices, jnp.asarray(geom.num_triangles),
+        normals=geom.normals, obj_ids=geom.obj_id, block_size=512)
+    tree = build_block_grid_treelet(
+        geom.vertices, geom.num_triangles,
+        normals=geom.normals, obj_ids=geom.obj_id, block_size=512)
+    assert tree.num_blocks >= runs.num_blocks
+    # every real triangle appears exactly once in each layout
+    ids_r = np.sort(np.asarray(runs.tri_index).ravel())
+    ids_t = np.sort(np.asarray(tree.tri_index).ravel())
+    np.testing.assert_array_equal(ids_r[ids_r >= 0], ids_t[ids_t >= 0])
+
+    img_r = np.asarray(render_scene(
+        dataclasses.replace(scene, accel=runs), jitter_mode="wang"))
+    img_t = np.asarray(render_scene(
+        dataclasses.replace(scene, accel=tree), jitter_mode="wang"))
+    np.testing.assert_array_equal(img_r, img_t)
