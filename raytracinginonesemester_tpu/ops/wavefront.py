@@ -56,7 +56,7 @@ from .megakernel import (
 )
 
 __all__ = ["bounce_tile_plan", "render_tiles_wavefront",
-           "sort_bounce_state"]
+           "render_tiles_wavefront_frames", "sort_bounce_state"]
 
 _I32_MAX = np.int32(2**31 - 1)
 
@@ -74,6 +74,16 @@ _I32_MAX = np.int32(2**31 - 1)
 import os as _os
 
 _STAGED_CHUNK = int(_os.environ.get("RT_STAGED_CHUNK", "256"))
+
+# Samples per MERGED bounce group (see _render_group): the staged spp
+# loop gathers this many samples' alive subsets into ONE compaction
+# sort + bounce ladder.  The TPU analog of the reference's 32-sample
+# register batching (GPUandCPU/include/query.cu:39-65, antialias.h:39):
+# there registers amortize per-launch state, here the shared sort packs
+# G samples' alive rays into tiles with ~G x narrower key ranges
+# (tighter hulls -> fewer dense visits per ray) and the ladder's fixed
+# costs are paid once per group.  1 disables merging.
+_SAMPLE_GROUP = int(_os.environ.get("RT_SAMPLE_GROUP", "8"))
 
 
 def _sort_key(bo, bd, alive, lo, span):
@@ -208,10 +218,207 @@ def bounce_tile_plan(state: Array, grid):
     return _pad_plan_rows(order, sorted_entry)
 
 
+def _staged_ladder(scene, h_st, h_rng, h_pix, cap, lo, span,
+                   staged_chunk, mb, kw):
+    """Per-bounce kernel + re-sort on packed tiles with a SHRINKING
+    capacity ladder; radiance rides in the state's rd rows.
+
+    The alive wavefront collapses fast after the first bounce
+    (frog: 131 alive tiles -> 14 -> 3 -> ...), so bounce 1 runs at
+    the full capacity and bounces 2+ on the re-sorted alive PREFIX
+    at cap/8 — kernels and re-sorts shrink with the wavefront.  If
+    bounce 1 leaves more alive tiles than the small capacity (a
+    scene with little decay), a ``lax.cond`` keeps the full width;
+    either way the dead suffix rides through unchanged, so output
+    is identical.
+    """
+    from .megakernel import staged_flat
+
+    grid = scene.accel
+    # the flat-scan bounce kernel never reads the plan (see
+    # megakernel traversal-order notes); hand it zeros instead of
+    # building the hull/slab/argsort plan every bounce
+    flat = staged_flat(grid.num_blocks)
+    ls = -(-grid.num_blocks // 8)  # accel.SUPER
+
+    def one_bounce(h_st, h_rng, h_pix, c):
+        if flat:
+            c8 = -(-c // 8) * 8
+            order = jnp.zeros((c8, ls), jnp.int32)
+            entry = jnp.zeros((c8, ls), jnp.float32)
+        else:
+            order, entry = bounce_tile_plan(h_st, grid)
+        h_st, h_rng = bounce_step_tiles(scene, h_st, h_rng,
+                                        order, entry,
+                                        chunk=staged_chunk, **kw)
+        return sort_bounce_state(h_st, h_rng, h_pix, lo, span)
+
+    def while_bounces(h_st, h_rng, h_pix, c, d0):
+        def cond(carry):
+            d, st, _, _ = carry
+            a = st.reshape(c, _ST_ROWS, RAY_TILE)[:, _ST_ALIVE_ROW]
+            return (d < mb) & jnp.any(a > 0.0)
+
+        def body(carry):
+            d, st, rng, pix_ = carry
+            st, rng, pix_ = one_bounce(st, rng, pix_, c)
+            return d + 1, st, rng, pix_
+
+        _, h_st, _, h_pix = jax.lax.while_loop(
+            cond, body, (jnp.int32(d0), h_st, h_rng, h_pix))
+        return h_st, h_pix
+
+    cap2 = max(8, cap // 8)
+    if mb <= 2 or cap2 >= cap:
+        return while_bounces(h_st, h_rng, h_pix, cap, 1)
+
+    # bounce depth 1 at the full capacity (guarded: the gathered
+    # wavefront can be entirely dead)
+    a0 = h_st.reshape(cap, _ST_ROWS, RAY_TILE)[:, _ST_ALIVE_ROW]
+    h_st, h_rng, h_pix = jax.lax.cond(
+        jnp.any(a0 > 0.0),
+        lambda op: one_bounce(*op, cap),
+        lambda op: op,
+        (h_st, h_rng, h_pix))
+
+    stv = h_st.reshape(cap, _ST_ROWS, RAY_TILE)
+    overflow2 = jnp.any(stv[cap2:, _ST_ALIVE_ROW] > 0.0)
+
+    def full_width(op):
+        h_st, h_rng, h_pix = op
+        return while_bounces(h_st, h_rng, h_pix, cap, 2)
+
+    def small_width(op):
+        h_st, h_rng, h_pix = op
+        p_st, p_pix = while_bounces(
+            h_st[:cap2 * _ST_ROWS], h_rng[:cap2 * 8],
+            h_pix[:cap2 * RAY_TILE], cap2, 2)
+        return (jnp.concatenate([p_st, h_st[cap2 * _ST_ROWS:]]),
+                jnp.concatenate([p_pix, h_pix[cap2 * RAY_TILE:]]))
+
+    return jax.lax.cond(overflow2, full_width, small_width,
+                        (h_st, h_rng, h_pix))
+
+
+def _render_group(scene, xs_p, ys_p, plan, lo, span, cap, group, s0,
+                  staged_chunk, jitter, kw):
+    """Render ``group`` consecutive samples with a MERGED bounce phase.
+
+    Phase A (a scan over the group) runs each sample's emit and gathers
+    its alive-tile subset (at most ``cap`` tiles).  Phase B concatenates
+    the subsets, compaction-sorts ALL of them together — samples share
+    the key space, so the merged tiles span ~group x narrower
+    (octant, morton) ranges than per-sample tiles, which tightens every
+    bounce tile's hull and cuts dense visits per ray — and runs ONE
+    staged ladder at ``group * cap`` width, paying the ladder's fixed
+    costs once.  The TPU analog of the reference's 32-sample register
+    batching (``GPUandCPU/include/query.cu:39-65``).
+
+    Per-sample results are bit-identical to the unmerged staged path in
+    interpret/CPU semantics: per-ray math never depends on ray placement
+    (the framework's ordering-invariance contract), pixel keys are
+    offset by ``j * np_rays`` so the final unsort separates samples
+    exactly, and each sample's radiance frame is reconstituted before
+    any cross-sample accumulation.  (On real TPU hardware, kernels at a
+    different static width may differ in the last ulp — Mosaic FMA
+    contraction is per-compiled-program; see docs/DESIGN.md round 3.)
+
+    A sample whose alive tiles overflow ``cap`` falls back to the
+    full-width single-sort resume INSIDE phase A; its subset rides
+    through phase B dead (parked radiance, passthrough lanes), so the
+    scatter-back restores its exact fallback values.
+
+    Returns (r, g, b), each ``(group, np_rays)`` — per-sample FINAL
+    radiance frames, unclipped.
+    """
+    grid = scene.accel
+    np_rays = xs_p.size
+    nt = np_rays // RAY_TILE
+    mb = int(scene.max_bounces)
+    pix = jnp.arange(np_rays, dtype=jnp.int32)
+
+    def emit_one(_, j):
+        st, rng = emit_tiles(scene, xs_p, ys_p, s0 + j, jitter=jitter,
+                             plan=plan, **kw)
+        stv = st.reshape(nt, _ST_ROWS, RAY_TILE)
+        alive_t = jnp.any(stv[:, _ST_ALIVE_ROW] > 0.0, axis=1)
+        overflow = jnp.sum(alive_t.astype(jnp.int32)) > cap
+        iota_t = jnp.arange(nt, dtype=jnp.int32)
+        key_t = jnp.where(alive_t, iota_t, iota_t + nt)
+        idx = jnp.sort(jnp.argsort(key_t)[:cap])
+        rng_g = rng.reshape(nt, 8 * RAY_TILE)[idx].reshape(
+            cap * 8, RAY_TILE)
+        pix_g = (idx[:, None] * RAY_TILE
+                 + jnp.arange(RAY_TILE, dtype=jnp.int32)[None, :]
+                 ).reshape(cap * RAY_TILE)
+
+        def no_ovf(op):
+            st, rng = op
+            stv = st.reshape(nt, _ST_ROWS, RAY_TILE)
+            st_g = st.reshape(nt, _ST_ROWS * RAY_TILE)[idx].reshape(
+                cap * _ST_ROWS, RAY_TILE)
+            base = tuple(stv[:, r].reshape(np_rays) for r in (9, 10, 11))
+            return (st_g,) + base
+
+        def ovf(op):
+            # miscalibrated capacity: finish this sample at full width
+            # (identical to the unmerged global path) and PARK its
+            # subset — final radiance in the rd rows, alive 0 — so the
+            # merged ladder passes it through and the scatter-back
+            # restores these exact values
+            st, rng = op
+            st_s, rng_s, pix_s = sort_bounce_state(st, rng, pix, lo, span)
+            r, g, b = resume_tiles(scene, st_s, rng_s, **kw)
+            _, r2, g2, b2 = jax.lax.sort(
+                (pix_s, r.reshape(np_rays), g.reshape(np_rays),
+                 b.reshape(np_rays)), dimension=0, num_keys=1)
+            st_g = st.reshape(nt, _ST_ROWS * RAY_TILE)[idx].reshape(
+                cap, _ST_ROWS, RAY_TILE)
+            for row_, fr in zip((9, 10, 11), (r2, g2, b2)):
+                st_g = st_g.at[:, row_].set(fr.reshape(nt, RAY_TILE)[idx])
+            st_g = st_g.at[:, _ST_ALIVE_ROW].set(0.0)
+            return (st_g.reshape(cap * _ST_ROWS, RAY_TILE), r2, g2, b2)
+
+        st_g, er, eg, eb = jax.lax.cond(overflow, ovf, no_ovf, (st, rng))
+        return 0, (idx, st_g, rng_g, pix_g + j * np_rays, er, eg, eb)
+
+    _, (idxs, st_gs, rng_gs, pix_gs, ers, egs, ebs) = jax.lax.scan(
+        emit_one, 0, jnp.arange(group, dtype=jnp.int32))
+
+    cap_g = cap * group
+    h_st, h_rng, h_pix = sort_bounce_state(
+        st_gs.reshape(cap_g * _ST_ROWS, RAY_TILE),
+        rng_gs.reshape(cap_g * 8, RAY_TILE),
+        pix_gs.reshape(cap_g * RAY_TILE), lo, span)
+    h_st, h_pix = _staged_ladder(scene, h_st, h_rng, h_pix, cap_g,
+                                 lo, span, staged_chunk, mb, kw)
+    fv = h_st.reshape(cap_g, _ST_ROWS, RAY_TILE)
+    # one sort by the offset pixel keys both unsorts within each sample
+    # and separates samples: sample j's keys live in
+    # [j * np_rays, (j + 1) * np_rays) and are exactly cap * RAY_TILE
+    # many, so its rows land contiguously, in gathered-tile order
+    _, r_s, g_s, b_s = jax.lax.sort(
+        (h_pix,
+         fv[:, 9].reshape(cap_g * RAY_TILE),
+         fv[:, 10].reshape(cap_g * RAY_TILE),
+         fv[:, 11].reshape(cap_g * RAY_TILE)),
+        dimension=0, num_keys=1)
+
+    def scatter_one(frame, sub, idx):
+        return frame.reshape(nt, RAY_TILE).at[idx].set(
+            sub.reshape(cap, RAY_TILE)).reshape(np_rays)
+
+    return tuple(
+        jax.vmap(scatter_one)(frames, sub.reshape(group, cap * RAY_TILE),
+                              idxs)
+        for frames, sub in zip((ers, egs, ebs), (r_s, g_s, b_s)))
+
+
 @partial(jax.jit, static_argnames=("spp", "interpret", "det_eps", "tmin",
                                    "shadow_eps", "shadow_tmin",
                                    "dialect", "jitter", "shadow_samples",
-                                   "capacity_tiles", "staged_chunk"))
+                                   "capacity_tiles", "staged_chunk",
+                                   "sample_group"))
 def render_tiles_wavefront(
     scene,
     xs: Array,
@@ -229,6 +436,7 @@ def render_tiles_wavefront(
     shadow_samples: int = 1,
     capacity_tiles: int | None = None,
     staged_chunk: int | None = None,
+    sample_group: int | None = None,
 ) -> Array:
     """Wavefront render of swizzled pixel tiles -> (N, 3) radiance SUM
     over spp samples; drop-in for ``megakernel.render_tiles`` on
@@ -247,9 +455,16 @@ def render_tiles_wavefront(
 
     ``staged_chunk``: sublane rows per gated dense-visit chunk in the
     staged bounce kernels (``megakernel.visit_block_chunked``); None
-    defaults to the ``RT_STAGED_CHUNK`` env knob, 0 disables."""
+    defaults to the ``RT_STAGED_CHUNK`` env knob, 0 disables.
+
+    ``sample_group``: samples per MERGED bounce group (``_render_group``)
+    when the staged scheduler is active and spp > 1; None defaults to
+    the ``RT_SAMPLE_GROUP`` env knob, 1 disables merging.  Reduced to
+    the largest divisor of spp at or below the requested size."""
     if staged_chunk is None:
         staged_chunk = _STAGED_CHUNK
+    if sample_group is None:
+        sample_group = _SAMPLE_GROUP
     grid = scene.accel
     xs_p, ys_p, n, np_rays = _pad_tiles(xs, ys)
     nt = np_rays // RAY_TILE
@@ -289,83 +504,8 @@ def render_tiles_wavefront(
         return r2, g2, b2
 
     def _staged_loop(h_st, h_rng, h_pix, cap):
-        """Per-bounce kernel + re-sort on packed tiles with a SHRINKING
-        capacity ladder; radiance rides in the state's rd rows.
-
-        The alive wavefront collapses fast after the first bounce
-        (frog: 131 alive tiles -> 14 -> 3 -> ...), so bounce 1 runs at
-        the full capacity and bounces 2+ on the re-sorted alive PREFIX
-        at cap/8 — kernels and re-sorts shrink with the wavefront.  If
-        bounce 1 leaves more alive tiles than the small capacity (a
-        scene with little decay), a ``lax.cond`` keeps the full width;
-        either way the dead suffix rides through unchanged, so output
-        is identical.
-        """
-        from .megakernel import staged_flat
-
-        # the flat-scan bounce kernel never reads the plan (see
-        # megakernel traversal-order notes); hand it zeros instead of
-        # building the hull/slab/argsort plan every bounce
-        flat = staged_flat(grid.num_blocks)
-        ls = -(-grid.num_blocks // 8)  # accel.SUPER
-
-        def one_bounce(h_st, h_rng, h_pix, c):
-            if flat:
-                c8 = -(-c // 8) * 8
-                order = jnp.zeros((c8, ls), jnp.int32)
-                entry = jnp.zeros((c8, ls), jnp.float32)
-            else:
-                order, entry = bounce_tile_plan(h_st, grid)
-            h_st, h_rng = bounce_step_tiles(scene, h_st, h_rng,
-                                            order, entry,
-                                            chunk=staged_chunk, **kw)
-            return sort_bounce_state(h_st, h_rng, h_pix, lo, span)
-
-        def while_bounces(h_st, h_rng, h_pix, c, d0):
-            def cond(carry):
-                d, st, _, _ = carry
-                a = st.reshape(c, _ST_ROWS, RAY_TILE)[:, _ST_ALIVE_ROW]
-                return (d < mb) & jnp.any(a > 0.0)
-
-            def body(carry):
-                d, st, rng, pix_ = carry
-                st, rng, pix_ = one_bounce(st, rng, pix_, c)
-                return d + 1, st, rng, pix_
-
-            _, h_st, _, h_pix = jax.lax.while_loop(
-                cond, body, (jnp.int32(d0), h_st, h_rng, h_pix))
-            return h_st, h_pix
-
-        cap2 = max(8, cap // 8)
-        if mb <= 2 or cap2 >= cap:
-            return while_bounces(h_st, h_rng, h_pix, cap, 1)
-
-        # bounce depth 1 at the full capacity (guarded: the gathered
-        # wavefront can be entirely dead)
-        a0 = h_st.reshape(cap, _ST_ROWS, RAY_TILE)[:, _ST_ALIVE_ROW]
-        h_st, h_rng, h_pix = jax.lax.cond(
-            jnp.any(a0 > 0.0),
-            lambda op: one_bounce(*op, cap),
-            lambda op: op,
-            (h_st, h_rng, h_pix))
-
-        stv = h_st.reshape(cap, _ST_ROWS, RAY_TILE)
-        overflow2 = jnp.any(stv[cap2:, _ST_ALIVE_ROW] > 0.0)
-
-        def full_width(op):
-            h_st, h_rng, h_pix = op
-            return while_bounces(h_st, h_rng, h_pix, cap, 2)
-
-        def small_width(op):
-            h_st, h_rng, h_pix = op
-            p_st, p_pix = while_bounces(
-                h_st[:cap2 * _ST_ROWS], h_rng[:cap2 * 8],
-                h_pix[:cap2 * RAY_TILE], cap2, 2)
-            return (jnp.concatenate([p_st, h_st[cap2 * _ST_ROWS:]]),
-                    jnp.concatenate([p_pix, h_pix[cap2 * RAY_TILE:]]))
-
-        return jax.lax.cond(overflow2, full_width, small_width,
-                            (h_st, h_rng, h_pix))
+        return _staged_ladder(scene, h_st, h_rng, h_pix, cap, lo, span,
+                              staged_chunk, mb, kw)
 
     def one_sample(s):
         st, rng = emit_tiles(scene, xs_p, ys_p, s, jitter=jitter,
@@ -438,6 +578,35 @@ def render_tiles_wavefront(
                 jnp.clip(b2, 0.0, 1.0))
 
     off = jnp.asarray(sample_offset, jnp.int32)
+
+    group = 1
+    if staged_cap is not None and spp > 1 and sample_group > 1:
+        group = min(int(sample_group), spp)
+        while spp % group:
+            group -= 1
+    if group > 1:
+        def add_group(acc, s0g):
+            r3 = _render_group(scene, xs_p, ys_p, plan, lo, span,
+                               staged_cap, group, s0g, staged_chunk,
+                               jitter, kw)
+            # accumulate per sample IN ORDER: each pixel sees the same
+            # addition sequence as the unmerged spp loop
+            for j in range(group):
+                sample = tuple(c[j] for c in r3)
+                if dialect != "cpuonly":
+                    sample = tuple(jnp.clip(c, 0.0, 1.0) for c in sample)
+                acc = tuple(a + c for a, c in zip(acc, sample))
+            return acc
+
+        zeros3 = tuple(jnp.zeros(np_rays, jnp.float32) for _ in range(3))
+        if spp == group:
+            acc = add_group(zeros3, off)
+        else:
+            acc, _ = jax.lax.scan(
+                lambda c, g: (add_group(c, off + g), None),
+                zeros3, jnp.arange(0, spp, group, dtype=jnp.int32))
+        return jnp.stack([a[:n] for a in acc], axis=1)  # (N, 3) sums
+
     if spp <= 4:
         acc = [jnp.zeros(np_rays, jnp.float32) for _ in range(3)]
         for s in range(spp):
@@ -456,6 +625,75 @@ def render_tiles_wavefront(
             jnp.arange(spp, dtype=jnp.int32),
         )
     return jnp.stack([a[:n] for a in acc], axis=1)  # (N, 3) sums
+
+
+@partial(jax.jit, static_argnames=("frames", "spp", "interpret", "det_eps",
+                                   "tmin", "shadow_eps", "shadow_tmin",
+                                   "dialect", "jitter", "shadow_samples",
+                                   "capacity_tiles", "staged_chunk"))
+def render_tiles_wavefront_frames(
+    scene,
+    xs: Array,
+    ys: Array,
+    frames: int,
+    sample_offset=0,
+    *,
+    spp: int = 1,
+    interpret: bool = False,
+    det_eps: float = 1e-8,
+    tmin: float = 1e-4,
+    shadow_eps: float = 1e-3,
+    shadow_tmin: float = 1e-4,
+    dialect: str = "gpu",
+    jitter: str = "wang",
+    shadow_samples: int = 1,
+    capacity_tiles: int | None = None,
+    staged_chunk: int | None = None,
+) -> Array:
+    """``frames`` whole spp-1 frames in ONE dispatch with a merged
+    bounce phase -> (frames, N, 3) per-frame radiance.
+
+    The batched-serving form of the staged wavefront: frame f renders
+    sample ``sample_offset + f * spp .. + spp - 1``, all frames' bounce
+    wavefronts share ONE compaction sort + staged ladder per sample
+    index (``_render_group``), amortizing the ladder's fixed costs and
+    tightening bounce-tile hulls exactly like the reference's 32-sample
+    register batching amortizes per-launch state
+    (``GPUandCPU/include/query.cu:39-65``).  Each returned frame is the
+    complete, independently-usable render for its sample offset —
+    per-sample math identical to ``render_tiles_wavefront`` (see
+    ``_render_group`` for the exact bit-equivalence contract).
+
+    Requires a calibrated ``capacity_tiles`` (see
+    ``auto_capacity_tiles``); spp must be 1 for now (the per-frame spp
+    loop lives in the caller)."""
+    if spp != 1:
+        raise NotImplementedError("batched frames are spp-1 per frame")
+    if staged_chunk is None:
+        staged_chunk = _STAGED_CHUNK
+    if capacity_tiles is None:
+        raise ValueError("render_tiles_wavefront_frames requires a "
+                         "calibrated capacity_tiles")
+    grid = scene.accel
+    xs_p, ys_p, n, np_rays = _pad_tiles(xs, ys)
+    nt = np_rays // RAY_TILE
+    cap = min(int(capacity_tiles), nt)
+
+    lo = [jnp.min(grid.aabb[c]) for c in range(3)]
+    span = [jnp.maximum(jnp.max(grid.aabb[3 + c]) - lo[c], 1e-20)
+            for c in range(3)]
+    plan = _pad_plan_rows(
+        *camera_tile_plan(scene.camera, xs_p, ys_p, grid, RAY_TILE))
+    kw = dict(interpret=interpret, det_eps=det_eps, tmin=tmin,
+              shadow_eps=shadow_eps, shadow_tmin=shadow_tmin,
+              dialect=dialect, shadow_samples=shadow_samples)
+
+    off = jnp.asarray(sample_offset, jnp.int32)
+    r3 = _render_group(scene, xs_p, ys_p, plan, lo, span, cap, frames,
+                       off, staged_chunk, jitter, kw)
+    if dialect != "cpuonly":
+        r3 = tuple(jnp.clip(c, 0.0, 1.0) for c in r3)
+    return jnp.stack([c[:, :n] for c in r3], axis=2)  # (frames, N, 3)
 
 
 @partial(jax.jit, static_argnames=("interpret", "det_eps", "tmin",

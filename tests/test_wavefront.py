@@ -281,3 +281,52 @@ def test_staged_chunked_bounce_bit_identical(chunk):
         scene, xs, ys, 1, interpret=True, capacity_tiles=4,
         staged_chunk=chunk))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize(
+    "spp,group,cap",
+    [(4, 2, 4), (4, 4, 4), (2, 2, 2),  # cap=2 forces the in-group
+                                        # overflow fallback
+     (6, 4, 4)],  # group 4 does not divide 6 -> reduced to 2
+)
+def test_merged_sample_groups_bit_identical(spp, group, cap):
+    """The MERGED sample-group scheduler (``_render_group``: all G
+    samples' alive subsets through ONE compaction sort + staged ladder)
+    must be bit-identical to the per-sample staged path: pixel keys are
+    offset per sample so the final unsort separates samples exactly,
+    dead lanes pass through kernels verbatim, and accumulation stays in
+    sample order per pixel.  Includes a too-tight capacity (the
+    overflow fallback now runs INSIDE the emit scan and parks the
+    sample's subset dead through the merged ladder)."""
+    scene = _two_frog_scene(width=128, height=64, diffuse_bounce=True,
+                            max_bounces=3)
+    scene = dataclasses.replace(scene, terminal_only=False)
+    xs, ys, _ = _swizzled_grid(128, 64)
+    a = np.asarray(render_tiles_wavefront(
+        scene, xs, ys, spp, interpret=True, capacity_tiles=cap,
+        sample_group=1))
+    b = np.asarray(render_tiles_wavefront(
+        scene, xs, ys, spp, interpret=True, capacity_tiles=cap,
+        sample_group=group))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_frames_api_matches_individual_frames():
+    """``render_tiles_wavefront_frames`` (F spp-1 frames, one merged
+    bounce phase per dispatch) must return each frame bit-identical to
+    rendering that sample offset alone through the staged path."""
+    from raytracinginonesemester_tpu.ops.wavefront import (
+        render_tiles_wavefront_frames)
+
+    scene = _two_frog_scene(width=128, height=64, diffuse_bounce=True,
+                            max_bounces=3)
+    scene = dataclasses.replace(scene, terminal_only=False)
+    xs, ys, _ = _swizzled_grid(128, 64)
+    batch = np.asarray(render_tiles_wavefront_frames(
+        scene, xs, ys, 3, 0, interpret=True, capacity_tiles=4))
+    assert batch.shape[0] == 3
+    for off in range(3):
+        single = np.asarray(render_tiles_wavefront(
+            scene, xs, ys, 1, sample_offset=off, interpret=True,
+            capacity_tiles=4))
+        np.testing.assert_array_equal(batch[off], single)
