@@ -258,10 +258,16 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
             hits = jax.tree.map(sg, hits)
             idx = jnp.maximum(hits.tri_idx, 0)
             # differentiable gather (R, 3, 3); stashed in tri_cell so
-            # make_hit_frame reuses it and the gather (plus its backward
-            # scatter-add, the expensive primitive) is paid once per
-            # bounce, not twice
-            tri = geom.vertices[idx]
+            # make_hit_frame reuses it and the gather is paid once per
+            # bounce, not twice.  The custom VJP routes the vertex
+            # cotangent through the Pallas one-hot MXU accumulate
+            # (ops.diff_gather) instead of XLA's scatter-add — the
+            # scatter was the largest single term of the backward pass
+            # (~37 ms/bounce at 518k rays; scripts/probe_grad_cost.py)
+            from .diff_gather import gather_rows
+            tri = gather_rows(geom.vertices.shape[0],
+                              jax.default_backend() != "tpu",
+                              geom.vertices, idx)
             tri_cell[0] = tri
             t2, u2, v2 = mt_single(o, d, tri, det_eps)
             thru = lambda a, b: a + (b - sg(b))

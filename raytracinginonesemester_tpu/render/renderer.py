@@ -291,6 +291,17 @@ def _render_scene_jit(
     spp = spp_override if spp_override is not None else scene.spp
     w, h = scene.camera.width, scene.camera.height
     xs, ys, (hp, wp) = _swizzled_grid(w, h)
+    accum = _frame_accum(scene, xs, ys, spp, sample_offset, jitter_mode,
+                         ray_tile, wavefront, wavefront_cap)
+    img = _unswizzle(accum, w, h, hp, wp)
+    return img / float(spp) if normalize else img
+
+
+def _frame_accum(scene, xs, ys, spp, sample_offset, jitter_mode,
+                 ray_tile, wavefront, wavefront_cap):
+    """Per-ray radiance SUM over spp samples, (N, 3) in swizzled order —
+    the dispatch core shared by ``_render_scene_jit`` and the batched
+    ``render_scene_frames`` fallback."""
     jitter_mode = resolve_jitter_mode(scene, jitter_mode, spp)
 
     # fused megakernel fast path (ops.megakernel): eligible scenes of
@@ -314,22 +325,88 @@ def _render_scene_jit(
             # direction/origin-coherent tiles; bit-identical images
             from ..ops.wavefront import render_tiles_wavefront
 
-            accum = render_tiles_wavefront(
+            return render_tiles_wavefront(
                 scene, xs, ys, spp, sample_offset=sample_offset,
                 capacity_tiles=wavefront_cap, **mk_kw,
             )
-        else:
-            accum = render_tiles(
-                scene, xs, ys, spp, sample_offset=sample_offset,
-                **mk_kw,
-            )
-    else:
-        accum = accumulate_samples(
-            scene, xs, ys, spp, jitter_mode, ray_tile,
-            sample_offset=sample_offset,
+        return render_tiles(
+            scene, xs, ys, spp, sample_offset=sample_offset,
+            **mk_kw,
         )
-    img = _unswizzle(accum, w, h, hp, wp)
-    return img / float(spp) if normalize else img
+    return accumulate_samples(
+        scene, xs, ys, spp, jitter_mode, ray_tile,
+        sample_offset=sample_offset,
+    )
+
+
+def render_scene_frames(
+    scene: Scene,
+    frames: int,
+    jitter_mode: str = "auto",
+    sample_offset: Array | int = 0,
+    ray_tile: int = DEFAULT_RAY_TILE,
+) -> Array:
+    """Render ``frames`` consecutive spp-1 frames in ONE dispatch ->
+    (frames, H, W, 3); frame f uses sample index ``sample_offset + f``.
+
+    The batched-serving driver: on the staged-wavefront fast path all
+    frames' bounce wavefronts share one merged compaction sort + bounce
+    ladder per dispatch (``ops.wavefront.render_tiles_wavefront_frames``
+    — the analog of the reference's 32-sample register batching,
+    ``GPUandCPU/include/query.cu:39-65``), amortizing scheduling costs
+    that a frame-at-a-time loop pays per frame.  Each returned frame is
+    bit-identical to ``render_scene(scene, ..., spp_override=1,
+    sample_offset=offset + f)`` rendered alone (same per-sample math;
+    see ``ops.wavefront._render_group``).  Ineligible scenes fall back
+    to an in-graph scan of single-frame renders — same images, only the
+    dispatch batching differs."""
+    wavefront, wavefront_cap = resolve_wavefront(scene, jitter_mode, 1)
+    return _render_scene_frames_jit(
+        scene, frames=frames, jitter_mode=jitter_mode, ray_tile=ray_tile,
+        sample_offset=sample_offset, wavefront=wavefront,
+        wavefront_cap=wavefront_cap)
+
+
+@partial(jax.jit, static_argnames=("frames", "jitter_mode", "ray_tile",
+                                   "wavefront", "wavefront_cap"))
+def _render_scene_frames_jit(
+    scene: Scene,
+    frames: int,
+    jitter_mode: str,
+    ray_tile: int,
+    sample_offset: Array | int,
+    wavefront: bool,
+    wavefront_cap: Optional[int] = None,
+) -> Array:
+    w, h = scene.camera.width, scene.camera.height
+    xs, ys, (hp, wp) = _swizzled_grid(w, h)
+    jm = resolve_jitter_mode(scene, jitter_mode, 1)
+
+    from ..ops.megakernel import megakernel_eligible, megakernel_kwargs
+
+    use_pallas = scene.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    eligible = use_pallas and megakernel_eligible(scene, jm)
+    bouncing = bool(scene.diffuse_bounce) or not scene.terminal_only
+    if (eligible and bouncing and wavefront and wavefront_cap is not None):
+        from ..ops.wavefront import render_tiles_wavefront_frames
+
+        interpret = jax.default_backend() != "tpu"
+        mk_kw = dict(interpret=interpret,
+                     **megakernel_kwargs(scene, jm))
+        accum = render_tiles_wavefront_frames(
+            scene, xs, ys, frames, sample_offset,
+            capacity_tiles=wavefront_cap, **mk_kw)  # (F, N, 3)
+    else:
+        def one(_, off):
+            return 0, _frame_accum(scene, xs, ys, 1, off, jitter_mode,
+                                   ray_tile, wavefront, wavefront_cap)
+
+        off0 = jnp.asarray(sample_offset, jnp.int32)
+        _, accum = jax.lax.scan(
+            one, 0, off0 + jnp.arange(frames, dtype=jnp.int32))
+    return jax.vmap(lambda a: _unswizzle(a, w, h, hp, wp))(accum)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "ray_tile"))

@@ -330,3 +330,39 @@ def test_frames_api_matches_individual_frames():
             scene, xs, ys, 1, sample_offset=off, interpret=True,
             capacity_tiles=4))
         np.testing.assert_array_equal(batch[off], single)
+
+
+def test_render_scene_frames_driver_matches_single_frames():
+    """``render_scene_frames`` (driver level): each frame of the batched
+    dispatch must equal ``render_scene(..., spp_override=1,
+    sample_offset=f)`` bit-exactly, on both the merged-wavefront fast
+    path and the in-graph scan fallback."""
+    import os
+
+    from raytracinginonesemester_tpu.render.renderer import (
+        render_scene, render_scene_frames)
+
+    scene = _two_frog_scene(width=64, height=32, diffuse_bounce=True,
+                            max_bounces=3)
+    scene = dataclasses.replace(scene, terminal_only=False,
+                                use_pallas=True)
+    old = os.environ.get("RT_WAVEFRONT_CAP")
+    os.environ["RT_WAVEFRONT_CAP"] = "4"
+    try:
+        batch = np.asarray(render_scene_frames(scene, 2))
+        for f in range(2):
+            single = np.asarray(render_scene(
+                scene, spp_override=1, sample_offset=f))
+            np.testing.assert_array_equal(batch[f], single)
+        # fallback (XLA block path): scan of single frames
+        scene2 = dataclasses.replace(scene, use_pallas=False)
+        batch2 = np.asarray(render_scene_frames(scene2, 2))
+        for f in range(2):
+            single = np.asarray(render_scene(
+                scene2, spp_override=1, sample_offset=f))
+            np.testing.assert_array_equal(batch2[f], single)
+    finally:
+        if old is None:
+            os.environ.pop("RT_WAVEFRONT_CAP", None)
+        else:
+            os.environ["RT_WAVEFRONT_CAP"] = old
