@@ -119,13 +119,21 @@ def main():
                     help="terminal-only variant (no diffuse bounces); the "
                     "faithful frog.json workload has diffuse_bounce=true")
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--frames", type=int, default=8,
+    ap.add_argument("--frames", type=int, default=16,
                     help="frames rendered back-to-back on-chip per timed "
                     "dispatch (lax.scan over sample offsets).  The tunneled "
                     "dev runtime pays a ~28 ms host round trip per dispatch "
                     "that production TPU serving does not; steady-state "
                     "throughput = dispatch_time / frames.  Set 1 to measure "
                     "single-dispatch latency instead.")
+    ap.add_argument("--no-merge-frames", action="store_true",
+                    help="keep the per-frame scan instead of the merged "
+                    "batched-frames dispatch (render_scene_frames): with "
+                    "merging, all frames in a dispatch share one bounce "
+                    "compaction sort + staged ladder (the analog of the "
+                    "reference's 32-sample register batching, "
+                    "query.cu:39-65); measured 63.1 -> 57.4 ms/frame on "
+                    "the spp-1 headline")
     ap.add_argument("--ray-tile", type=int, default=0,
                     help="rays per wavefront tile; <=0 = whole frame")
     ap.add_argument("--quick", action="store_true",
@@ -272,22 +280,40 @@ def main():
     # equivalent of the reference's cudaDeviceSynchronize before stopping
     # timers (main.cu:290).  Each frame renders a different sample index
     # so no two dispatches are identical.
-    @jax.jit
-    def frame_checksum(s, off0):
-        # args.frames whole frames back-to-back on-chip (each a distinct
-        # sample offset -> distinct RNG streams, no result reuse); the
-        # scan serializes them so dispatch_time/frames is true steady-
-        # state per-frame time, amortizing the dev tunnel's ~28 ms/
-        # dispatch host RTT that production serving does not pay.
-        def one(c, off):
-            img = render_scene(
-                s, jitter_mode="wang", ray_tile=args.ray_tile,
-                spp_override=args.spp, sample_offset=off,
-            )
-            return c + jnp.sum(img), 0
-        total, _ = jax.lax.scan(
-            one, jnp.float32(0.0), off0 + jnp.arange(args.frames))
-        return total
+    # args.frames whole frames back-to-back on-chip (each a distinct
+    # sample offset -> distinct RNG streams, no result reuse);
+    # dispatch_time/frames is true steady-state per-frame time,
+    # amortizing the dev tunnel's ~28 ms/dispatch host RTT that
+    # production serving does not pay.  Default: the batched-frames
+    # driver (render_scene_frames) — frames share one merged bounce
+    # phase per dispatch, the analog of the reference's 32-sample
+    # register batching (query.cu:39-65).  --no-merge-frames keeps an
+    # in-dispatch scan of independent single-frame renders.
+    merge = (args.frames > 1 and args.spp == 1 and wf and cap is not None
+             and not args.no_merge_frames)
+    if merge:
+        from raytracinginonesemester_tpu.render.renderer import (
+            render_scene_frames)
+
+        @jax.jit
+        def frame_checksum(s, off0):
+            return jnp.sum(render_scene_frames(
+                s, args.frames, jitter_mode="wang", sample_offset=off0,
+                ray_tile=args.ray_tile))
+    else:
+        @jax.jit
+        def frame_checksum(s, off0):
+            def one(c, off):
+                img = render_scene(
+                    s, jitter_mode="wang", ray_tile=args.ray_tile,
+                    spp_override=args.spp, sample_offset=off,
+                )
+                return c + jnp.sum(img), 0
+            total, _ = jax.lax.scan(
+                one, jnp.float32(0.0), off0 + jnp.arange(args.frames))
+            return total
+    print(f"frame batching: {'merged' if merge else 'scan'} "
+          f"x{args.frames}", file=sys.stderr)
 
     t0 = time.time()
     checksum = float(jax.device_get(frame_checksum(scene, 0)))

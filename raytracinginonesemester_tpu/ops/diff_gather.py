@@ -46,9 +46,11 @@ _TC = 2048   # table rows per output chunk
 def _segment_accum_kernel(idx_ref, ct_ref, out_ref):
     """One (table-chunk, ray-tile) grid step of the one-hot accumulate.
 
-    idx_ref (1, RT) i32: this tile's row indices, LOCAL to the chunk
+    idx_ref (8, RT) i32: this tile's row indices, LOCAL to the chunk
     (callers pre-subtract the chunk base; out-of-chunk rows are any
-    negative / >= _TC value and match no iota row).
+    negative / >= _TC value and match no iota row).  All 8 sublanes
+    are copies — Mosaic requires a sublane-divisible block, and the
+    (nc*8, Rp) replicated host array is tiny.
     ct_ref (16, RT) f32: feature rows (features x rays).
     out_ref (_TC, 16) f32: revisited across the ray-tile grid axis.
     """
@@ -58,7 +60,7 @@ def _segment_accum_kernel(idx_ref, ct_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    idx = idx_ref[:]  # (1, RT)
+    idx = idx_ref[pl.ds(0, 1), :]  # (1, RT)
     rows = jax.lax.broadcasted_iota(jnp.int32, (_TC, _RT), 0)
     oh = jnp.where(rows == idx, 1.0, 0.0)  # (TC, RT)
     ct = ct_ref[:]  # (16, RT)
@@ -88,9 +90,11 @@ def segment_accum_rows(idx: Array, ct: Array, rows: int,
     nr = rp // _RT
 
     # per-chunk LOCAL indices: subtract the chunk base so the kernel's
-    # iota compare is chunk-relative (grid dim 0 = chunk); a (nc, rp)
-    # local-index matrix is tiny (nc is 1-10)
+    # iota compare is chunk-relative (grid dim 0 = chunk); the (nc*8,
+    # rp) matrix replicates each chunk's row 8x for Mosaic's
+    # sublane-divisible block requirement — still small (nc is 1-10)
     local = idx_p[None, :] - (jnp.arange(nc, dtype=jnp.int32) * _TC)[:, None]
+    local = jnp.repeat(local, 8, axis=0)
 
     out = pl.pallas_call(
         _segment_accum_kernel,
@@ -98,7 +102,7 @@ def segment_accum_rows(idx: Array, ct: Array, rows: int,
         grid_spec=pl.GridSpec(
             grid=(nc, nr),
             in_specs=[
-                pl.BlockSpec((1, _RT), lambda c, rr: (c, rr),
+                pl.BlockSpec((8, _RT), lambda c, rr: (c, rr),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((16, _RT), lambda c, rr: (0, rr),
                              memory_space=pltpu.VMEM),
