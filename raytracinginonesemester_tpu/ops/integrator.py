@@ -38,6 +38,13 @@ import os as _os
 # the first trace and masked by the jit cache)
 _STREAM_ENV = _os.environ.get("RT_STREAM", "1") == "1"
 
+# Debug-only gradient bisection for the detached-diff path: a comma
+# list of cut points ("tri", "tuv", "p", "n") that stop_gradient the
+# named intermediate, isolating which backward branch costs what
+# (scripts/probe_grad_parts.py).  Wrong gradients when set — never use
+# outside probes.
+_DIFF_SG = set(filter(None, _os.environ.get("RT_DIFF_SG", "").split(",")))
+
 
 def merge_hits_over_axis(hits, axis_name: str, extra=None):
     """Min-t merge of per-shard HitData across a mesh axis.
@@ -268,6 +275,8 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
             tri = gather_rows(geom.vertices.shape[0],
                               jax.default_backend() != "tpu",
                               geom.vertices, idx)
+            if "tri" in _DIFF_SG:
+                tri = sg(tri)
             tri_cell[0] = tri
             t2, u2, v2 = mt_single(o, d, tri, det_eps)
             thru = lambda a, b: a + (b - sg(b))
@@ -275,6 +284,8 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
                 t=thru(hits.t, t2), u=thru(hits.u, u2),
                 v=thru(hits.v, v2), tri_idx=hits.tri_idx, hit=hits.hit,
             )
+            if "tuv" in _DIFF_SG:
+                hits = jax.tree.map(sg, hits)
             # the kernel NORMAL is non-differentiable — discard it and
             # let the dispatch below recompute it via make_hit_frame's
             # differentiable gathers; kernel VISIBILITY is kept (sg'ed):
@@ -323,6 +334,10 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
                 o, d, hits, geom.vertices, geom.normals,
                 mode=scene.dialect, tri=tri_cell[0]
             )
+            if "p" in _DIFF_SG:
+                p = jax.lax.stop_gradient(p)
+            if "n" in _DIFF_SG:
+                n = jax.lax.stop_gradient(n)
         # park miss/dead lanes' shade points too: their shadow rays then
         # cull instantly instead of tracing from a garbage position
         p = jnp.where(found[:, None], p, 1e30)
@@ -330,8 +345,10 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
         mat = scene.materials.gather(obj)
 
         # --- direct lighting ---
+        n_shade = (jax.lax.stop_gradient(n) if "shade_n" in _DIFF_SG
+                   else n)
         direct, state_direct = shading.shade_direct(
-            o, d, p, n, mat, scene.lights, occlude_fn, state,
+            o, d, p, n_shade, mat, scene.lights, occlude_fn, state,
             dialect=scene.dialect, vis_precomputed=kernel_vis,
         )
         state = jnp.where(found, state_direct, state)
@@ -393,6 +410,10 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
         )
 
         bounced = take_diffuse | take_mirror
+        if "newdir" in _DIFF_SG:
+            new_dir = jax.lax.stop_gradient(new_dir)
+        if "neworig" in _DIFF_SG:
+            new_origin = jax.lax.stop_gradient(new_origin)
         o = jnp.where(bounced[:, None], new_origin, o)
         d = jnp.where(bounced[:, None], new_dir, d)
         throughput = jnp.where(bounced[:, None], throughput * tp_scale, throughput)
