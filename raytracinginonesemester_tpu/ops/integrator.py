@@ -468,12 +468,29 @@ def trace_rays(
         jnp.ones((r,), bool),
     )
     if scene.accel is None or differentiable:
-        # differentiable path: fixed-trip scan (reverse-mode transposes;
-        # lax.while_loop does not) — detached-traversal scenes need it
-        # just as much as brute-force ones
-        (_, _, _, radiance, _, _), _ = jax.lax.scan(
-            bounce, init, None, length=max_depth
-        )
+        # differentiable path: fixed trip count (reverse-mode
+        # transposes; lax.while_loop does not) — detached-traversal
+        # scenes need it just as much as brute-force ones.  Shallow
+        # loops UNROLL: lax.scan's stacked residuals + per-iteration
+        # dynamic slicing cost the backward pass ~53 ms at 960x540
+        # bounces-2 on v5e (222.6 -> 169.4 ms vg; docs/DESIGN.md round
+        # 3 #8) — unrolled, XLA fuses across bounce boundaries and
+        # residuals stay unstacked.  Deep loops keep the scan to bound
+        # compile time/program size (RT_DIFF_UNROLL overrides).
+        unroll_env = _os.environ.get("RT_DIFF_UNROLL", "")
+        if unroll_env:
+            unroll = unroll_env == "1"
+        else:
+            unroll = int(max_depth) <= 8
+        if unroll:
+            carry = init
+            for _ in range(int(max_depth)):
+                carry, _ = bounce(carry, None)
+            radiance = carry[3]
+        else:
+            (_, _, _, radiance, _, _), _ = jax.lax.scan(
+                bounce, init, None, length=max_depth
+            )
     else:
         # forward path: stop as soon as every ray has terminated — e.g. a
         # mirror-free scene finishes in 1 bounce instead of max_depth

@@ -3,6 +3,7 @@ inverse-rendering recovery test (the BASELINE.md gradient-correctness
 gate — new capability, absent from the forward-only reference)."""
 
 import dataclasses
+import os
 
 import numpy as np
 import pytest
@@ -137,15 +138,31 @@ def test_detached_traversal_gradients_match_brute(scene, scene_detached):
     computed with different op orders, so their images legitimately
     differ by FMA/vectorization reassociation amplified through shading
     (measured ~4e-6 on 2/15552 pixels) — the brute comparison is
-    therefore loose (1e-5), while the block-vs-detached comparison is
-    exact (atol=0)."""
+    therefore loose (1e-5).  The block-vs-detached comparison is exact
+    (atol=0) UNDER MATCHED LOOP STRUCTURE: the a + (b - sg(b))
+    passthrough is bit-exact per-op, but the production detached path
+    UNROLLS its bounce loop (the scan's backward cost, see
+    ops/integrator.py), which lets XLA fuse across iteration
+    boundaries — a different (still correct) contraction, checked at
+    fusion tolerance (1e-6)."""
     fwd_brute = render_scene(scene, jitter_mode="center", spp_override=1)
     fwd_det = render_scene(scene_detached, jitter_mode="center",
                            spp_override=1)
     scene_blocks = dataclasses.replace(scene_detached, differentiable=False)
     fwd_blocks = render_scene(scene_blocks, jitter_mode="center",
                               spp_override=1)
-    np.testing.assert_array_equal(np.asarray(fwd_det),
+    np.testing.assert_allclose(np.asarray(fwd_det),
+                               np.asarray(fwd_blocks), rtol=0, atol=1e-6)
+    # matched loop structure (scan, like the non-diff while body):
+    # the passthrough invariant holds bit-for-bit
+    os.environ["RT_DIFF_UNROLL"] = "0"
+    try:
+        fwd_det_scan = render_scene(
+            dataclasses.replace(scene_detached, spp=2),  # new jit key
+            jitter_mode="center", spp_override=1)
+    finally:
+        del os.environ["RT_DIFF_UNROLL"]
+    np.testing.assert_array_equal(np.asarray(fwd_det_scan),
                                   np.asarray(fwd_blocks))
     np.testing.assert_allclose(np.asarray(fwd_det), np.asarray(fwd_brute),
                                rtol=0, atol=1e-5)
