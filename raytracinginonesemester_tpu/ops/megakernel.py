@@ -169,7 +169,6 @@ def megakernel_eligible(scene, jitter_mode: str) -> bool:
     """Static-only eligibility for the fused path (see module docstring)."""
     if (
         scene.accel is None
-        or int(scene.materials.kd.shape[0]) > MAX_OBJECTS
         or not fits_vmem(scene.accel)
         # detached-diff scenes differentiate through the staged
         # integrator; the fused kernels are not differentiable
@@ -720,7 +719,7 @@ def _make_shade(det_eps, shadow_eps, shadow_tmin, num_blocks,
                 t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
                 chunk=0, blk_col=None,
                 dialect="gpu", shadow_samples=1, rng_st=None,
-                spos_scr=None):
+                spos_scr=None, matsq_ref=None, mats_mm=0):
     rt = t_lane.shape[1]
     s_tmin_l = jnp.full((1, rt), shadow_tmin, jnp.float32)
     s_tmin_c = jnp.full((rt, 1), shadow_tmin, jnp.float32)
@@ -760,18 +759,30 @@ def _make_shade(det_eps, shadow_eps, shadow_tmin, num_blocks,
         ndotv = jnp.maximum(nx * vx + ny * vy + nz * vz, 0.0)
         obj_lane = obj_l[:]
 
-        # ambient + emission (shader.h:82-87), per-object scalars
-        lo_r = jnp.zeros((1, rt), jnp.float32)
-        lo_g = jnp.zeros((1, rt), jnp.float32)
-        lo_b = jnp.zeros((1, rt), jnp.float32)
-        for o in range(n_objects):
-            m = jnp.where(obj_lane == o, 1.0, 0.0)
-            al_r, al_g, al_b = mats_ref[o, 0], mats_ref[o, 1], mats_ref[o, 2]
-            em_r, em_g, em_b = (mats_ref[o, 10], mats_ref[o, 11],
-                                mats_ref[o, 12])
-            lo_r = lo_r + m * (al_r * 0.05 + em_r)
-            lo_g = lo_g + m * (al_g * 0.05 + em_g)
-            lo_b = lo_b + m * (al_b * 0.05 + em_b)
+        # ambient + emission (shader.h:82-87): per-object scalar loops
+        # within MAX_OBJECTS (bit-exact legacy path), else all 13
+        # material features per lane via the one-hot MXU dot (missed
+        # lanes' obj == -1 selects the all-zero row -> 0 contribution,
+        # matching the loop's no-mask case)
+        if mats_mm:
+            ml = _mat_lanes_mm(obj_lane, matsq_ref, mats_mm)
+            lo_r = ml[0] * 0.05 + ml[10]
+            lo_g = ml[1] * 0.05 + ml[11]
+            lo_b = ml[2] * 0.05 + ml[12]
+        else:
+            ml = None
+            lo_r = jnp.zeros((1, rt), jnp.float32)
+            lo_g = jnp.zeros((1, rt), jnp.float32)
+            lo_b = jnp.zeros((1, rt), jnp.float32)
+            for o in range(n_objects):
+                m = jnp.where(obj_lane == o, 1.0, 0.0)
+                al_r, al_g, al_b = (mats_ref[o, 0], mats_ref[o, 1],
+                                    mats_ref[o, 2])
+                em_r, em_g, em_b = (mats_ref[o, 10], mats_ref[o, 11],
+                                    mats_ref[o, 12])
+                lo_r = lo_r + m * (al_r * 0.05 + em_r)
+                lo_g = lo_g + m * (al_g * 0.05 + em_g)
+                lo_b = lo_b + m * (al_b * 0.05 + em_b)
 
         so_l = (px_l, py_l, pz_l)
         so_c = (_to_col(px_l), _to_col(py_l), _to_col(pz_l))
@@ -882,6 +893,19 @@ def _make_shade(det_eps, shadow_eps, shadow_tmin, num_blocks,
             ndoth = jnp.maximum((nx * hx + ny * hy + nz * hz) / hlen, 0.0)
             lit = jnp.where((ndotl > 0.0) & (ndotv > 0.0), 1.0, 0.0)
             scale = ndotl * vis * lit
+
+            if mats_mm:
+                # per-lane features (one pow for the whole tile instead
+                # of one per object); unlit/missed lanes have scale == 0
+                al_r, al_g, al_b, kd = ml[0], ml[1], ml[2], ml[3]
+                sp_r, sp_g, sp_b, ks, shin = (ml[4], ml[5], ml[6], ml[7],
+                                              ml[8])
+                lobe = jnp.power(ndoth, shin) * ((shin + 2.0) * _INV_2PI * ks)
+                fd = kd * _INV_PI
+                lo_r = lo_r + scale * rad_r * (al_r * fd + sp_r * lobe)
+                lo_g = lo_g + scale * rad_g * (al_g * fd + sp_g * lobe)
+                lo_b = lo_b + scale * rad_b * (al_b * fd + sp_b * lobe)
+                return lo_r, lo_g, lo_b
 
             for o in range(n_objects):
                 m = jnp.where(obj_lane == o, 1.0, 0.0) * scale
@@ -1079,7 +1103,7 @@ def _make_bounce(traverse, shade, rng_next_lane, hemisphere,
                  diffuse_bounce, n_objects, miss_rgb, mats_ref,
                  tp_refs, rd_refs, rng_st, alive_st, bo_refs, bd_refs,
                  nx_l, ny_l, nz_l, obj_l, hm_refs=None, chunk_shadow=False,
-                 dialect="gpu"):
+                 dialect="gpu", matsq_ref=None, mats_mm=0):
     miss_r, miss_g, miss_b = miss_rgb
     cpuonly = dialect == "cpuonly"
     tp_r, tp_g, tp_b = tp_refs
@@ -1128,19 +1152,27 @@ def _make_bounce(traverse, shade, rng_next_lane, hemisphere,
         rd_g[:] = rd_g[:] + tp_g[:] * (missed_f * ms_g + found_f * lo_g)
         rd_b[:] = rd_b[:] + tp_b[:] * (missed_f * ms_b + found_f * lo_b)
 
-        # per-lane material params by object (few objects, masked)
+        # per-lane material params by object: masked scalar loops
+        # within MAX_OBJECTS, the one-hot MXU dot beyond (miss lanes'
+        # obj == -1 -> all-zero features, same as the no-mask case)
         obj_lane = obj_l[:]
         zeros = jnp.zeros((1, rt), jnp.float32)
-        kd_l = zeros
-        kr_l = zeros
-        al = [zeros, zeros, zeros]
-        sp = [zeros, zeros, zeros]
-        for o in range(n_objects):
-            m = jnp.where(obj_lane == o, 1.0, 0.0)
-            kd_l = kd_l + m * mats_ref[o, 3]
-            kr_l = kr_l + m * mats_ref[o, 9]
-            al = [al[c] + m * mats_ref[o, c] for c in range(3)]
-            sp = [sp[c] + m * mats_ref[o, 4 + c] for c in range(3)]
+        if mats_mm:
+            ml = _mat_lanes_mm(obj_lane, matsq_ref, mats_mm)
+            kd_l, kr_l = ml[3], ml[9]
+            al = [ml[0], ml[1], ml[2]]
+            sp = [ml[4], ml[5], ml[6]]
+        else:
+            kd_l = zeros
+            kr_l = zeros
+            al = [zeros, zeros, zeros]
+            sp = [zeros, zeros, zeros]
+            for o in range(n_objects):
+                m = jnp.where(obj_lane == o, 1.0, 0.0)
+                kd_l = kd_l + m * mats_ref[o, 3]
+                kr_l = kr_l + m * mats_ref[o, 9]
+                al = [al[c] + m * mats_ref[o, c] for c in range(3)]
+                sp = [sp[c] + m * mats_ref[o, 4 + c] for c in range(3)]
 
         # Russian-roulette split (query.h:188-206)
         total = kd_l + kr_l
@@ -1289,9 +1321,10 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
                    max_depth, diffuse_bounce, terminal, chunk,
                    dialect, jitter, shadow_samples,
                    num_blocks, num_supers, n_lights, n_objects, mm_attrs,
+                   mats_mm,
                    xy_ref, cam_ref, lights_ref, mats_ref, off_ref,
                    tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
-                   qsel_ref, order_ref, entry_ref,
+                   qsel_ref, matsq_ref, order_ref, entry_ref,
                    r_out, g_out, b_out, *rest):
     col_scr = None
     spos_scr = None
@@ -1382,7 +1415,7 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
         blk_col=col_scr[0] if chunk else None,  # shadow blocked column
         dialect=dialect, shadow_samples=shadow_samples,
         rng_st=None if terminal else rng_st,
-        spos_scr=spos_scr,
+        spos_scr=spos_scr, matsq_ref=matsq_ref, mats_mm=mats_mm,
     )
 
     if terminal:
@@ -1416,6 +1449,7 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
             (bo_x, bo_y, bo_z), (bd_x, bd_y, bd_z),
             nx_l, ny_l, nz_l, obj_l, hm_refs=(hm_x, hm_y, hm_z),
             chunk_shadow=bool(chunk), dialect=dialect,
+            matsq_ref=matsq_ref, mats_mm=mats_mm,
         )
 
         def sample_body(s, _):
@@ -1470,6 +1504,62 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
 
 
 _QSEL_F = 22  # qsel features: tri v0/e1/e2 (9) | vn n0/n1/n2 (9) | g (3) | obj (1)
+_MM_OBJ_F = 13  # material features: albedo(3) kd specular(3) ks shin kr emission(3)
+
+
+def mats_mm_mode(n_objects: int, interpret: bool) -> int:
+    """Static per-lane material-selection mode: 0 = the unrolled
+    per-object masked-sum loops (scenes within MAX_OBJECTS — today's
+    bit-exact path), 1 = one-hot bf16 MXU dot over the mats table
+    (TPU), 2 = f32 dot of the same parts (interpret mode).  Modes 1/2
+    lift the object-count ceiling: kernel cost is one (RT, NOp) x
+    (NOp, 128) dot instead of n_objects masked adds per consumer."""
+    if n_objects <= MAX_OBJECTS:
+        return 0
+    return 2 if interpret else 1
+
+
+def _build_mats_qsel(mats_rows):
+    """(NOp, 128) bf16 selection matrix over OBJECTS: per object row,
+    the 13 material features split into bf16 hi/mid/lo parts (cols
+    [0,13)/[32,45)/[64,77)); the f32 sum hi+mid+lo reconstructs each
+    f32 feature bit-exactly (same scheme as ``_build_qsel``; one-hot
+    rows are exact in bf16)."""
+    no = mats_rows.shape[0]
+    nop = max(16, -(-no // 16) * 16)  # bf16 sublane tile (16, 128)
+    feats = jnp.pad(mats_rows[:, :_MM_OBJ_F].astype(jnp.float32),
+                    ((0, nop - no), (0, 0)))
+    hi = feats.astype(jnp.bfloat16)
+    r = feats - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    q = jnp.zeros((nop, 128), jnp.bfloat16)
+    return (q.at[:, 0:_MM_OBJ_F].set(hi)
+            .at[:, 32:32 + _MM_OBJ_F].set(mid)
+            .at[:, 64:64 + _MM_OBJ_F].set(lo))
+
+
+def _mat_lanes_mm(obj_lane, matsq_ref, mats_mm):
+    """All 13 per-lane material features for each lane's object via the
+    one-hot matmul — one dot for ANY object count.  Returns a list of
+    13 (1, rt) f32 rows in mats-row column order."""
+    rt = obj_lane.shape[1]
+    nop = matsq_ref.shape[0]
+    obj_c = _to_col(obj_lane)  # (rt, 1) int32
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rt, nop), 1)
+    pick = cols == obj_c
+    if mats_mm == 2:
+        mm = jnp.dot(jnp.where(pick, 1.0, 0.0),
+                     matsq_ref[:].astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    else:
+        mm = jnp.dot(jnp.where(pick, 1.0, 0.0).astype(jnp.bfloat16),
+                     matsq_ref[:], preferred_element_type=jnp.float32)
+    outt = mm.T  # (128, rt): features land lane-major
+    attr = lambda f: (outt[f:f + 1, :]
+                      + outt[32 + f:33 + f, :]
+                      + outt[64 + f:65 + f, :])
+    return [attr(f) for f in range(_MM_OBJ_F)]
 
 
 def mm_attrs_mode(grid, interpret: bool) -> int:
@@ -1564,9 +1654,15 @@ def _scene_rows(scene, grid):
     # tells the kernel which path was compiled)
     qsel = (_build_qsel(grid) if mm_attrs_for(grid)
             else jnp.zeros((16, 128), jnp.bfloat16))
+    # per-lane material selection beyond MAX_OBJECTS: the (NOp, 128)
+    # bf16 object-feature matrix for the one-hot dot (_mat_lanes_mm);
+    # a dummy row keeps operand arity fixed when the unrolled loops
+    # were compiled instead
+    matsq = (_build_mats_qsel(mats_rows) if n_objects > MAX_OBJECTS
+             else jnp.zeros((16, 128), jnp.bfloat16))
     geom_ops = (tri_rows, norm_rows, grid.tri_index, grid.obj,
-                aabb_rows, aabb_lane, qsel)
-    geom_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
+                aabb_rows, aabb_lane, qsel, matsq)
+    geom_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
     return (scalar_ops, scalar_specs, geom_ops, geom_specs,
             n_lights, n_objects)
 
@@ -1688,7 +1784,8 @@ def render_tiles(
                 max_depth, bool(scene.diffuse_bounce), terminal,
                 int(chunk) if not terminal else 0,
                 dialect, jitter, int(shadow_samples),
-                l, ls, n_lights, n_objects, mm_attrs_mode(grid, interpret)),
+                l, ls, n_lights, n_objects, mm_attrs_mode(grid, interpret),
+                mats_mm_mode(n_objects, interpret)),
         out_shape=[jax.ShapeDtypeStruct((nt, RAY_TILE), jnp.float32)] * 3,
         grid_spec=pl.GridSpec(
             grid=(nt,),
@@ -1726,9 +1823,10 @@ _ST_ALIVE_ROW = 12  # the aliveness flag row (1.0 alive / 0.0 dead)
 def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
                  dialect, jitter, shadow_samples,
                  num_blocks, num_supers, n_lights, n_objects, mm_attrs,
+                 mats_mm,
                  xy_ref, cam_ref, lights_ref, mats_ref, off_ref,
                  tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
-                 qsel_ref, order_ref, entry_ref,
+                 qsel_ref, matsq_ref, order_ref, entry_ref,
                  st_out, rng_out, *scratch):
     cpuonly = dialect == "cpuonly"
     spos_scr = None
@@ -1798,7 +1896,7 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
         tri_ref, ids_ref, aabb_ref, lights_ref, mats_ref,
         t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
         dialect=dialect, shadow_samples=shadow_samples, rng_st=rng_st,
-        spos_scr=spos_scr,
+        spos_scr=spos_scr, matsq_ref=matsq_ref, mats_mm=mats_mm,
     )
     rng_next_lane, hemisphere = _make_rng_hemisphere(
         rng_st, hm_x, hm_y, hm_z)
@@ -1808,7 +1906,7 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
         (tp_r, tp_g, tp_b), (rd_r, rd_g, rd_b), rng_st, alive_st,
         (bo_x, bo_y, bo_z), (bd_x, bd_y, bd_z),
         nx_l, ny_l, nz_l, obj_l, hm_refs=(hm_x, hm_y, hm_z),
-        dialect=dialect,
+        dialect=dialect, matsq_ref=matsq_ref, mats_mm=mats_mm,
     )
 
     @pl.when(has_work)
@@ -1841,10 +1939,10 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
 def _resume_kernel(det_eps, tmin, shadow_eps, shadow_tmin, max_depth,
                    diffuse_bounce, dialect, shadow_samples,
                    num_blocks, num_supers,
-                   n_lights, n_objects, mm_attrs,
+                   n_lights, n_objects, mm_attrs, mats_mm,
                    cam_ref, lights_ref, mats_ref,
                    tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
-                   qsel_ref, order_ref, entry_ref, st_ref, rng_ref,
+                   qsel_ref, matsq_ref, order_ref, entry_ref, st_ref, rng_ref,
                    r_out, g_out, b_out, *scratch):
     cpuonly = dialect == "cpuonly"
     spos_scr = None
@@ -1883,7 +1981,7 @@ def _resume_kernel(det_eps, tmin, shadow_eps, shadow_tmin, max_depth,
         tri_ref, ids_ref, aabb_ref, lights_ref, mats_ref,
         t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
         dialect=dialect, shadow_samples=shadow_samples, rng_st=rng_st,
-        spos_scr=spos_scr,
+        spos_scr=spos_scr, matsq_ref=matsq_ref, mats_mm=mats_mm,
     )
     rng_next_lane, hemisphere = _make_rng_hemisphere(
         rng_st, hm_x, hm_y, hm_z)
@@ -1893,7 +1991,7 @@ def _resume_kernel(det_eps, tmin, shadow_eps, shadow_tmin, max_depth,
         (tp_r, tp_g, tp_b), (rd_r, rd_g, rd_b), rng_st, alive_st,
         (bo_x, bo_y, bo_z), (bd_x, bd_y, bd_z),
         nx_l, ny_l, nz_l, obj_l, hm_refs=(hm_x, hm_y, hm_z),
-        dialect=dialect,
+        dialect=dialect, matsq_ref=matsq_ref, mats_mm=mats_mm,
     )
 
     # the sort puts dead rays last, so dead tiles are a suffix of the
@@ -1997,7 +2095,8 @@ def emit_tiles(
         partial(_emit_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
                 bool(scene.diffuse_bounce),
                 dialect, jitter, int(shadow_samples),
-                l, ls, n_lights, n_objects, mm_attrs_mode(grid, interpret)),
+                l, ls, n_lights, n_objects, mm_attrs_mode(grid, interpret),
+                mats_mm_mode(n_objects, interpret)),
         out_shape=[
             jax.ShapeDtypeStruct((nt * _ST_ROWS, RAY_TILE), jnp.float32),
             jax.ShapeDtypeStruct((nt * 8, RAY_TILE), jnp.int32),
@@ -2068,7 +2167,8 @@ def resume_tiles(
         partial(_resume_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
                 int(scene.max_bounces), bool(scene.diffuse_bounce),
                 dialect, int(shadow_samples),
-                l, 128, n_lights, n_objects, mm_attrs_mode(grid, interpret)),
+                l, 128, n_lights, n_objects, mm_attrs_mode(grid, interpret),
+                mats_mm_mode(n_objects, interpret)),
         out_shape=[jax.ShapeDtypeStruct((nt, RAY_TILE), jnp.float32)] * 3,
         grid_spec=pl.GridSpec(
             grid=(nt,),
@@ -2084,10 +2184,10 @@ def resume_tiles(
 def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
                         diffuse_bounce, dialect, shadow_samples, chunk,
                         num_blocks, num_supers, n_lights, n_objects,
-                        mm_attrs,
+                        mm_attrs, mats_mm,
                         cam_ref, lights_ref, mats_ref,
                         tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref,
-                        alane_ref, qsel_ref, order_ref, entry_ref,
+                        alane_ref, qsel_ref, matsq_ref, order_ref, entry_ref,
                         st_ref, rng_ref,
                         st_out, rng_out, *scratch):
     """ONE planned bounce on packed per-ray state (state in, state out).
@@ -2145,7 +2245,7 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
         chunk=chunk,
         blk_col=col_scr[0] if chunk else None,
         dialect=dialect, shadow_samples=shadow_samples, rng_st=rng_st,
-        spos_scr=spos_scr,
+        spos_scr=spos_scr, matsq_ref=matsq_ref, mats_mm=mats_mm,
     )
     rng_next_lane, hemisphere = _make_rng_hemisphere(
         rng_st, hm_x, hm_y, hm_z)
@@ -2156,6 +2256,7 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
         (bo_x, bo_y, bo_z), (bd_x, bd_y, bd_z),
         nx_l, ny_l, nz_l, obj_l, hm_refs=(hm_x, hm_y, hm_z),
         chunk_shadow=bool(chunk), dialect=dialect,
+        matsq_ref=matsq_ref, mats_mm=mats_mm,
     )
 
     # dead tiles (the sorted suffix) skip straight to the passthrough
@@ -2234,7 +2335,8 @@ def bounce_step_tiles(
         partial(_bounce_step_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
                 bool(scene.diffuse_bounce), dialect, int(shadow_samples),
                 int(chunk),
-                l, ls, n_lights, n_objects, mm_attrs_mode(grid, interpret)),
+                l, ls, n_lights, n_objects, mm_attrs_mode(grid, interpret),
+                mats_mm_mode(n_objects, interpret)),
         out_shape=[
             jax.ShapeDtypeStruct((nt * _ST_ROWS, RAY_TILE), jnp.float32),
             jax.ShapeDtypeStruct((nt * 8, RAY_TILE), jnp.int32),

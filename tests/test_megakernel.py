@@ -186,6 +186,113 @@ def test_monolithic_chunked_visits_bit_identical():
     np.testing.assert_array_equal(a, b)
 
 
+def _many_object_scene(n_objects=36, width=48, height=24, **settings):
+    """A scene with more objects than MAX_OBJECTS: a grid of small
+    spheres with per-object materials (varied albedo/ks/shininess, a
+    few emissive, a few mirrors) — drives the one-hot MXU material
+    selection (``mats_mm_mode`` != 0)."""
+    nodes = []
+    for o in range(n_objects):
+        gx, gy = o % 6, o // 6
+        mirror = o % 7 == 3
+        nodes.append(SceneNodeConfig(
+            name=f"ball{o}",
+            type="mesh",
+            path=os.path.join(REPO, "tests/assets/meshes/sphere.obj"),
+            transform=Transform(
+                position=(-0.12 + 0.05 * gx, 0.0 + 0.02 * gy,
+                          -0.05 + 0.05 * gy),
+                scale=(0.02, 0.02, 0.02)),
+            material=dict(
+                albedo=(0.2 + 0.02 * (o % 8), 0.7 - 0.01 * o,
+                        0.3 + 0.015 * (o % 5)),
+                kd=0.0 if mirror else (0.6 + 0.01 * (o % 4)),
+                ks=0.1 + 0.02 * (o % 3),
+                specular_color=(0.5, 0.4 + 0.01 * (o % 6), 0.5),
+                shininess=float(4 << (o % 4)),
+                kr=0.9 if mirror else 0.0,
+                emission=((0.0, 0.4, 0.1) if o % 11 == 5
+                          else (0.0, 0.0, 0.0)),
+            ),
+        ))
+    config = SceneConfig(
+        max_bounces=settings.pop("max_bounces", 3),
+        spp=settings.pop("spp", 1),
+        diffuse_bounce=settings.pop("diffuse_bounce", True),
+        camera_position=(0.0, -0.35, 0.1),
+        camera_look_at=(0.0, 0.05, 0.0),
+        camera_up=(0.0, 0.0, 1.0),
+        focal_length_mm=45.0,
+        sensor_height_mm=24.0,
+        sensor_width_mm=None,
+        pixel_width=width,
+        pixel_height=height,
+        background=("miss", (0.25, 0.45, 0.9)),
+        lights=[
+            dict(position=(-3.0, -1.0, 2.0), color=(1.0, 1.0, 0.8),
+                 intensity=5.0, radius=0.0, shadow_samples=1),
+            dict(position=(2.0, -2.0, 1.0), color=(0.3, 0.5, 1.0),
+                 intensity=2.0, radius=0.0, shadow_samples=1),
+        ],
+        nodes=nodes,
+        dialect="gpu",
+        **settings,
+    )
+    return build_scene(config)
+
+
+def test_megakernel_many_objects_matches_wavefront():
+    """Scenes beyond MAX_OBJECTS stay on the fused path: per-lane
+    material selection switches from the unrolled masked loops to the
+    one-hot matmul over the mats table (``_mat_lanes_mm``) and must
+    reproduce the staged integrator image."""
+    from raytracinginonesemester_tpu.ops.megakernel import (
+        MAX_OBJECTS, mats_mm_mode, megakernel_eligible)
+
+    scene = _many_object_scene()
+    n_obj = int(scene.materials.kd.shape[0])
+    assert n_obj > MAX_OBJECTS
+    assert mats_mm_mode(n_obj, interpret=True) == 2
+    assert mats_mm_mode(n_obj, interpret=False) == 1
+    fused = dataclasses.replace(scene, use_pallas=True)
+    staged = dataclasses.replace(scene, use_pallas=False)
+    assert megakernel_eligible(fused, "wang")
+
+    img_f = np.asarray(render_scene(fused, jitter_mode="wang"))
+    img_s = np.asarray(render_scene(staged, jitter_mode="wang"))
+    bad = np.abs(img_f - img_s) > 2e-3
+    assert bad.mean() < 2e-3, f"{bad.mean():.4%} pixels diverge"
+    # several distinct materials must actually be visible
+    assert img_f.std() > 0.05
+
+
+def test_mats_qsel_bf16_split_reconstructs_bitexact():
+    """``_build_mats_qsel`` stores each f32 material feature as three
+    bf16 parts; the kernel reconstructs hi + mid + lo after the one-hot
+    dot.  The reconstruction must be bit-exact for every object row
+    (mode 1's on-TPU invariant, asserted off-TPU on real scene data)."""
+    from raytracinginonesemester_tpu.ops.megakernel import (
+        _MM_OBJ_F, _build_mats_qsel)
+
+    scene = _many_object_scene(width=16, height=16)
+    mats = scene.materials
+    n = int(mats.kd.shape[0])
+    mats_rows = np.concatenate([
+        np.asarray(mats.albedo), np.asarray(mats.kd)[:, None],
+        np.asarray(mats.specular_color), np.asarray(mats.ks)[:, None],
+        np.asarray(mats.shininess)[:, None], np.asarray(mats.kr)[:, None],
+        np.asarray(mats.emission), np.zeros((n, 3), np.float32),
+    ], axis=1)
+    q = np.asarray(_build_mats_qsel(jnp.asarray(mats_rows)))
+    hi = q[:n, 0:_MM_OBJ_F].astype(np.float32)
+    mid = q[:n, 32:32 + _MM_OBJ_F].astype(np.float32)
+    lo = q[:n, 64:64 + _MM_OBJ_F].astype(np.float32)
+    recon = hi + mid + lo  # the kernel's exact summation order
+    np.testing.assert_array_equal(recon, mats_rows[:, :_MM_OBJ_F])
+    # padding rows must be zero so out-of-range one-hots select nothing
+    assert not np.any(q[n:])
+
+
 def test_block_layouts_bit_identical():
     """Morton-run and LBVH-treelet block layouts must render the SAME
     image bit for bit: the winner selection ties break on (t, global
