@@ -141,6 +141,32 @@ _MM_ATTRS = _os.environ.get("MK_MM_ATTRS", "1") == "1"
 # behind the flag as a recorded negative result.
 _CHUNK_ROWS = int(_os.environ.get("MK_CHUNK", "0"))
 
+# Triangle-axis (quarter-block) gating of the dense visits: each
+# 512-triangle block is split into NQ Morton-contiguous 128-lane
+# quarters with their own AABBs; a firing visit slab-tests each quarter
+# against the tile and runs the (RT, 128) Moller-Trumbore only for
+# quarters some ray can reach.  This cuts ray-triangle pairs BELOW the
+# tile-union bound the roofline note treats as this design's floor:
+# the corner-ray hull proxy keeps only 43.5% of dense pairs at
+# 128-lane quarters on the frog camera pass (2.3x pair cut,
+# scripts/probe_quarter_gate.py), and the in-kernel per-ray any-reduce
+# gate is strictly tighter.  Winner updates stay bit-exact: quarters
+# are combined through the same lexicographic (t, global id) take rule,
+# and min is an exact reduction, so the winner — and the image — is
+# bit-identical to the ungated visit.  RT_QUARTER sets the sub-block
+# lane width (0 disables; "1" = the 128-lane default).
+_QUARTER_RAW = _os.environ.get("RT_QUARTER", "1")
+_QUARTER_LANES = (0 if _QUARTER_RAW == "0"
+                  else 128 if _QUARTER_RAW == "1" else int(_QUARTER_RAW))
+
+
+def quarters_for(block_size: int) -> int:
+    """Static quarter count for a block size (1 = gating disabled)."""
+    if (_QUARTER_LANES and block_size % _QUARTER_LANES == 0
+            and block_size >= 2 * _QUARTER_LANES):
+        return block_size // _QUARTER_LANES
+    return 1
+
 _INV_PI = 0.31830988618
 _INV_2PI = 0.15915494309
 _U32 = jnp.uint32
@@ -371,9 +397,14 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
                    order_ref, entry_ref,
                    t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
                    chunk=0, col_scr=None, dialect="gpu", qsel_ref=None,
-                   mm_f32_dot=False):
+                   mm_f32_dot=False, qaabb_ref=None, nq=1):
     rt = t_col.shape[0]
-    bsize = ids_ref.shape[1]
+    # quarter-major layout: with the triangle-axis gate on, operand
+    # rows are 128-lane QUARTERS (row (k*L + b)*nq + q); nq == 1 makes
+    # a quarter the whole block and reproduces the original layout, so
+    # all addressing below is uniform in the quarter index bq.
+    qs = ids_ref.shape[1]  # lanes per quarter row
+    nrows = num_blocks * nq  # quarter rows per plane
     int_max = np.int32(2**31 - 1)
     tmin_l = jnp.full((1, rt), tmin, jnp.float32)
     tmin_c = jnp.full((rt, 1), tmin, jnp.float32)
@@ -410,11 +441,16 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
         if chunked:
             blk_c[:] = jnp.full((rt, 1), int_max, jnp.int32)
 
-        def visit_block(b):
+        def _visit_cols(bq):
+            """Dense test + winner update on one quarter row (the whole
+            block when nq == 1).  Sequential per-quarter updates through
+            the same lexicographic (t, global id) take rule compute
+            exactly the block-at-once winner — min is an exact
+            reduction — so gating never shifts a bit."""
             tri = tuple(
-                tri_ref[pl.ds(k_ * num_blocks + b, 1), :] for k_ in range(9)
+                tri_ref[pl.ds(k_ * nrows + bq, 1), :] for k_ in range(9)
             )
-            ids = ids_ref[pl.ds(b, 1), :]  # (1, B)
+            ids = ids_ref[pl.ds(bq, 1), :]  # (1, QS)
             t, u, v = _mt_block(o_sc, d_c, tri, det_eps, tmin_c, t_col[:])
             t = jnp.where(ids >= 0, t, F32_MAX)
             min_t = jnp.min(t, axis=1, keepdims=True)
@@ -448,19 +484,31 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
                 idx_col[:] = jnp.where(take, best_id, old_idx)
                 t_lane[:] = _to_lane(new_t)
                 take_l = _to_lane(jnp.where(take, 1.0, 0.0)) > 0.0
-                # attrs are DEFERRED: record only the winner's block;
-                # the resolve pass after the walk rebuilds pick from
-                # the (unique) global triangle ids and computes the
-                # attributes once per DISTINCT winner block (~5/tile)
+                # attrs are DEFERRED: record only the winner's quarter
+                # row; the resolve pass after the walk rebuilds pick
+                # from the (unique) global triangle ids and computes the
+                # attributes once per DISTINCT winner quarter (~5/tile)
                 # instead of per improving visit (~20/tile).  Attrs
                 # are consumed only after traverse returns, so this is
                 # bit-exact by construction.
-                blk_win[:] = jnp.where(take_l, b, blk_win[:])
+                blk_win[:] = jnp.where(take_l, bq, blk_win[:])
 
             if _NO_WHEN:
                 _take_body()
             else:
                 pl.when(jnp.any(take))(_take_body)
+
+        def visit_block(b):
+            if nq == 1:
+                _visit_cols(b)
+                return
+            # triangle-axis gate: only quarters some ray can reach run
+            # their (RT, QS) dense test (see the RT_QUARTER note above)
+            for q in range(nq):
+                boxed_q = _tile_slab(qaabb_ref, b * nq + q, o_l, inv_l,
+                                     tmin_l, t_lane[:]) & active_l
+                pl.when(jnp.any(boxed_q))(partial(_visit_cols,
+                                                  b * nq + q))
 
         def visit_block_chunked(b, boxed_col):
             """Dense test gated per ``chunk`` sublane rows.
@@ -476,39 +524,56 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
             distinct winner block.  t_lane is refreshed once per visit
             for the caller's slab pruning.
             """
-            tri = tuple(
-                tri_ref[pl.ds(k_ * num_blocks + b, 1), :] for k_ in range(9)
-            )
-            ids = ids_ref[pl.ds(b, 1), :]  # (1, B)
-            for c in range(rt // chunk):
-                lo = c * chunk
-                pred = jnp.sum(boxed_col[lo:lo + chunk, :]) > 0.0
+            def _quarter_chunks(bq):
+                tri = tuple(
+                    tri_ref[pl.ds(k_ * nrows + bq, 1), :]
+                    for k_ in range(9)
+                )
+                ids = ids_ref[pl.ds(bq, 1), :]  # (1, QS)
+                for c in range(rt // chunk):
+                    lo = c * chunk
+                    pred = jnp.sum(boxed_col[lo:lo + chunk, :]) > 0.0
 
-                @pl.when(pred)
-                def _(lo=lo):
-                    old_t = t_col[pl.ds(lo, chunk), :]
-                    old_idx = idx_col[pl.ds(lo, chunk), :]
-                    o_ch = tuple(x[lo:lo + chunk, :] for x in o_sc)
-                    d_ch = tuple(x[lo:lo + chunk, :] for x in d_c)
-                    t, u, v = _mt_block(o_ch, d_ch, tri, det_eps,
-                                        tmin_ch, old_t)
-                    t = jnp.where(ids >= 0, t, F32_MAX)
-                    min_t = jnp.min(t, axis=1, keepdims=True)
-                    at_min = t == min_t
-                    id_key = jnp.where(at_min & (ids >= 0), ids, int_max)
-                    best_id = jnp.min(id_key, axis=1, keepdims=True)
-                    old_key = jnp.where(old_idx >= 0, old_idx, int_max)
-                    take = (min_t < F32_MAX) & (
-                        (min_t < old_t)
-                        | ((min_t == old_t) & (best_id < old_key))
-                    )
+                    @pl.when(pred)
+                    def _(lo=lo):
+                        old_t = t_col[pl.ds(lo, chunk), :]
+                        old_idx = idx_col[pl.ds(lo, chunk), :]
+                        o_ch = tuple(x[lo:lo + chunk, :] for x in o_sc)
+                        d_ch = tuple(x[lo:lo + chunk, :] for x in d_c)
+                        t, u, v = _mt_block(o_ch, d_ch, tri, det_eps,
+                                            tmin_ch, old_t)
+                        t = jnp.where(ids >= 0, t, F32_MAX)
+                        min_t = jnp.min(t, axis=1, keepdims=True)
+                        at_min = t == min_t
+                        id_key = jnp.where(at_min & (ids >= 0), ids,
+                                           int_max)
+                        best_id = jnp.min(id_key, axis=1, keepdims=True)
+                        old_key = jnp.where(old_idx >= 0, old_idx, int_max)
+                        take = (min_t < F32_MAX) & (
+                            (min_t < old_t)
+                            | ((min_t == old_t) & (best_id < old_key))
+                        )
 
-                    @pl.when(jnp.any(take))
-                    def _():
-                        sl = pl.ds(lo, chunk)
-                        t_col[sl, :] = jnp.where(take, min_t, old_t)
-                        idx_col[sl, :] = jnp.where(take, best_id, old_idx)
-                        blk_c[sl, :] = jnp.where(take, b, blk_c[sl, :])
+                        @pl.when(jnp.any(take))
+                        def _():
+                            sl = pl.ds(lo, chunk)
+                            t_col[sl, :] = jnp.where(take, min_t, old_t)
+                            idx_col[sl, :] = jnp.where(take, best_id,
+                                                       old_idx)
+                            blk_c[sl, :] = jnp.where(take, bq,
+                                                     blk_c[sl, :])
+
+            if nq == 1:
+                _quarter_chunks(b)
+            else:
+                # triangle-axis gate on top of the row-chunk gate: a
+                # skipped quarter is one no ray in the TILE can reach
+                for q in range(nq):
+                    boxed_q = _tile_slab(qaabb_ref, b * nq + q, o_l,
+                                         inv_l, tmin_l, t_lane[:]
+                                         ) & active_l
+                    pl.when(jnp.any(boxed_q))(partial(_quarter_chunks,
+                                                      b * nq + q))
 
             t_lane[:] = _to_lane(t_col[:])
 
@@ -644,17 +709,17 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
         # blk_win at int_max so the loop no-ops.
         def r_cond(c):
             k, bw = c
-            return (k < num_blocks) & (jnp.min(bw) < int_max)
+            return (k < nrows) & (jnp.min(bw) < int_max)
 
         def r_body(c):
             k, bw = c
-            b = jnp.min(bw)
+            b = jnp.min(bw)  # winner QUARTER row (== block when nq == 1)
             mask = blk_win[:] == b
             idxc = idx_col[:]
             ids = ids_ref[pl.ds(b, 1), :]
             pick = (ids == idxc) & (idxc >= 0)
             if qsel_ref is not None:
-                qb = qsel_ref[pl.ds(b * bsize, bsize), :]
+                qb = qsel_ref[pl.ds(b * qs, qs), :]
                 if mm_f32_dot:
                     mm = jnp.dot(jnp.where(pick, 1.0, 0.0),
                                  qb.astype(jnp.float32),
@@ -670,9 +735,9 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
                 a = [attr(f) for f in range(21)]
                 obj_w = attr(21).astype(jnp.int32)
             else:
-                planes = [tri_ref[pl.ds(k_ * num_blocks + b, 1), :]
+                planes = [tri_ref[pl.ds(k_ * nrows + b, 1), :]
                           for k_ in range(9)]
-                planes += [norm_ref[pl.ds(k_ * num_blocks + b, 1), :]
+                planes += [norm_ref[pl.ds(k_ * nrows + b, 1), :]
                            for k_ in range(12)]
                 selc = lambda q: _to_lane(jnp.sum(
                     jnp.where(pick, q, 0.0), axis=1, keepdims=True))
@@ -719,8 +784,10 @@ def _make_shade(det_eps, shadow_eps, shadow_tmin, num_blocks,
                 t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
                 chunk=0, blk_col=None,
                 dialect="gpu", shadow_samples=1, rng_st=None,
-                spos_scr=None, matsq_ref=None, mats_mm=0):
+                spos_scr=None, matsq_ref=None, mats_mm=0,
+                qaabb_ref=None, nq=1):
     rt = t_lane.shape[1]
+    nrows = num_blocks * nq  # quarter rows per plane (see _make_traverse)
     s_tmin_l = jnp.full((1, rt), shadow_tmin, jnp.float32)
     s_tmin_c = jnp.full((rt, 1), shadow_tmin, jnp.float32)
     if chunk:
@@ -796,6 +863,53 @@ def _make_shade(det_eps, shadow_eps, shadow_tmin, num_blocks,
                 return (k < num_blocks) & jnp.any(
                     facing & (blk_lane[:] == 0.0))
 
+            def _s_visit_cols(bq, boxed):
+                """Any-hit dense test on one quarter row (the whole
+                block when nq == 1); any-hit max-accumulation is
+                order-independent, so quarter gating is exact."""
+                tri = tuple(
+                    tri_ref[pl.ds(k_ * nrows + bq, 1), :]
+                    for k_ in range(9)
+                )
+                ids = ids_ref[pl.ds(bq, 1), :]
+                if not chunked:
+                    ts, _, _ = _mt_block(so_c, sd_c, tri, det_eps,
+                                         s_tmin_c, tmax_c)
+                    ts = jnp.where(ids >= 0, ts, F32_MAX)
+                    s_hit = (jnp.min(ts, axis=1, keepdims=True)
+                             < F32_MAX)
+                    blk_lane[:] = jnp.maximum(
+                        blk_lane[:],
+                        _to_lane(jnp.where(s_hit, 1.0, 0.0))
+                    )
+                    return
+                # bounce-phase shadows: same sublane-chunk gating
+                # as visit_block_chunked — any-hit, so a skipped
+                # chunk (no facing+unblocked+slab lane) is exact
+                boxed_col = _to_col(jnp.where(boxed, 1.0, 0.0))
+                for c in range(rt // chunk):
+                    lo = c * chunk
+                    pred = jnp.sum(boxed_col[lo:lo + chunk, :]) > 0.0
+
+                    @pl.when(pred)
+                    def _(lo=lo):
+                        so_ch = tuple(
+                            x[lo:lo + chunk, :] for x in so_c)
+                        sd_ch = tuple(
+                            x[lo:lo + chunk, :] for x in sd_c)
+                        ts, _, _ = _mt_block(
+                            so_ch, sd_ch, tri, det_eps, s_tmin_ch,
+                            tmax_c[lo:lo + chunk, :])
+                        ts = jnp.where(ids >= 0, ts, F32_MAX)
+                        s_hit = (jnp.min(ts, axis=1, keepdims=True)
+                                 < F32_MAX)
+                        sl = pl.ds(lo, chunk)
+                        blk_col[sl, :] = jnp.maximum(
+                            blk_col[sl, :],
+                            jnp.where(s_hit, 1.0, 0.0))
+
+                blk_lane[:] = _to_lane(blk_col[:])
+
             def s_body(k):
                 boxed = (
                     _tile_slab(aabb_ref, k, so_l, si, s_tmin_l, dist)
@@ -804,48 +918,17 @@ def _make_shade(det_eps, shadow_eps, shadow_tmin, num_blocks,
 
                 @pl.when(jnp.any(boxed))
                 def _():
-                    tri = tuple(
-                        tri_ref[pl.ds(k_ * num_blocks + k, 1), :]
-                        for k_ in range(9)
-                    )
-                    ids = ids_ref[pl.ds(k, 1), :]
-                    if not chunked:
-                        ts, _, _ = _mt_block(so_c, sd_c, tri, det_eps,
-                                             s_tmin_c, tmax_c)
-                        ts = jnp.where(ids >= 0, ts, F32_MAX)
-                        s_hit = (jnp.min(ts, axis=1, keepdims=True)
-                                 < F32_MAX)
-                        blk_lane[:] = jnp.maximum(
-                            blk_lane[:],
-                            _to_lane(jnp.where(s_hit, 1.0, 0.0))
-                        )
+                    if nq == 1:
+                        _s_visit_cols(k, boxed)
                         return
-                    # bounce-phase shadows: same sublane-chunk gating
-                    # as visit_block_chunked — any-hit, so a skipped
-                    # chunk (no facing+unblocked+slab lane) is exact
-                    boxed_col = _to_col(jnp.where(boxed, 1.0, 0.0))
-                    for c in range(rt // chunk):
-                        lo = c * chunk
-                        pred = jnp.sum(boxed_col[lo:lo + chunk, :]) > 0.0
-
-                        @pl.when(pred)
-                        def _(lo=lo):
-                            so_ch = tuple(
-                                x[lo:lo + chunk, :] for x in so_c)
-                            sd_ch = tuple(
-                                x[lo:lo + chunk, :] for x in sd_c)
-                            ts, _, _ = _mt_block(
-                                so_ch, sd_ch, tri, det_eps, s_tmin_ch,
-                                tmax_c[lo:lo + chunk, :])
-                            ts = jnp.where(ids >= 0, ts, F32_MAX)
-                            s_hit = (jnp.min(ts, axis=1, keepdims=True)
-                                     < F32_MAX)
-                            sl = pl.ds(lo, chunk)
-                            blk_col[sl, :] = jnp.maximum(
-                                blk_col[sl, :],
-                                jnp.where(s_hit, 1.0, 0.0))
-
-                    blk_lane[:] = _to_lane(blk_col[:])
+                    for q in range(nq):
+                        boxed_q = (
+                            _tile_slab(qaabb_ref, k * nq + q, so_l, si,
+                                       s_tmin_l, dist)
+                            & facing & (blk_lane[:] == 0.0)
+                        )
+                        pl.when(jnp.any(boxed_q))(partial(
+                            _s_visit_cols, k * nq + q, boxed_q))
 
                 return k + 1
 
@@ -1321,10 +1404,10 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
                    max_depth, diffuse_bounce, terminal, chunk,
                    dialect, jitter, shadow_samples,
                    num_blocks, num_supers, n_lights, n_objects, mm_attrs,
-                   mats_mm,
+                   mats_mm, nq,
                    xy_ref, cam_ref, lights_ref, mats_ref, off_ref,
                    tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
-                   qsel_ref, matsq_ref, order_ref, entry_ref,
+                   qsel_ref, matsq_ref, qaabb_ref, order_ref, entry_ref,
                    r_out, g_out, b_out, *rest):
     col_scr = None
     spos_scr = None
@@ -1405,7 +1488,7 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
         t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
         chunk=chunk, col_scr=col_scr, dialect=dialect,
         qsel_ref=qsel_ref if mm_attrs else None,
-        mm_f32_dot=mm_attrs == 2,
+        mm_f32_dot=mm_attrs == 2, qaabb_ref=qaabb_ref, nq=nq,
     )
     shade = _make_shade(
         det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
@@ -1416,6 +1499,7 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
         dialect=dialect, shadow_samples=shadow_samples,
         rng_st=None if terminal else rng_st,
         spos_scr=spos_scr, matsq_ref=matsq_ref, mats_mm=mats_mm,
+        qaabb_ref=qaabb_ref, nq=nq,
     )
 
     if terminal:
@@ -1609,6 +1693,31 @@ def _build_qsel(grid):
             .at[:, 64:64 + _QSEL_F].set(lo))
 
 
+def _quarter_aabb_rows(grid, nq):
+    """(Lq_pad, 8) quarter-AABB rows for the triangle-axis visit gate:
+    row ``b * nq + q`` holds [min_xyz, max_xyz, 0, 0] of block ``b``'s
+    q-th 128-lane Morton run, recomputed from the plane-SoA triangles
+    (v0, v0+e1, v0+e2).  All-padding quarters collapse to the point box
+    [3e38, 3e38] — its slab test fails for every finite ray on
+    whichever axis has the sign to push t to +/-inf."""
+    l, b = grid.tri_index.shape
+    qs = b // nq
+    v0 = grid.tri[0:3]  # (3, L, B)
+    p1 = v0 + grid.tri[3:6]
+    p2 = v0 + grid.tri[6:9]
+    valid = (grid.tri_index >= 0)[None]  # (1, L, B)
+    big = np.float32(3e38)
+    mn = jnp.minimum(jnp.minimum(v0, p1), p2)
+    mx = jnp.maximum(jnp.maximum(v0, p1), p2)
+    mn = jnp.where(valid, mn, big).reshape(3, l, nq, qs).min(axis=3)
+    mx = jnp.where(valid, mx, -big).reshape(3, l, nq, qs).max(axis=3)
+    empty = ~valid.reshape(l, nq, qs).any(axis=2)  # (L, NQ)
+    mn = jnp.where(empty[None], big, mn).reshape(3, l * nq)
+    mx = jnp.where(empty[None], big, mx).reshape(3, l * nq)
+    q6 = jnp.concatenate([mn, mx])  # (6, L*NQ)
+    return jnp.pad(q6.T, ((0, (-l * nq) % 8), (0, 2)))
+
+
 def _scene_rows(scene, grid):
     """Host-side operand prep shared by the fused kernels: scalar rows
     (SMEM) + plane-SoA geometry (VMEM) with their BlockSpecs."""
@@ -1637,8 +1746,16 @@ def _scene_rows(scene, grid):
         jnp.zeros((n_objects, 3), jnp.float32),
     ], axis=1)  # (NO, 16)
 
-    tri_rows = grid.tri.reshape(9 * l, b)
-    norm_rows = grid.norm.reshape(12 * l, b)
+    # quarter-major plane layout when the triangle-axis gate is on:
+    # each 128-lane quarter is its own ROW (row (k*L + b)*nq + q), so
+    # every in-kernel load is a full row at lane offset 0 — Mosaic has
+    # no dynamic-row loads at a nonzero lane offset
+    nq = quarters_for(b)
+    qs = b // nq
+    tri_rows = grid.tri.reshape(9 * l * nq, qs)
+    norm_rows = grid.norm.reshape(12 * l * nq, qs)
+    ids_rows = grid.tri_index.reshape(l * nq, qs)
+    obj_rows = grid.obj.reshape(l * nq, qs)
     aabb_rows = jnp.pad(grid.aabb.T, (((0, (-l) % 8)), (0, 2)))  # (Lp, 8)
     # lane-major copy for the bounce scan's per-block distance bounds:
     # rows 0-5 = lo.xyz/hi.xyz over block lanes, padding pushed to +huge
@@ -1660,9 +1777,13 @@ def _scene_rows(scene, grid):
     # were compiled instead
     matsq = (_build_mats_qsel(mats_rows) if n_objects > MAX_OBJECTS
              else jnp.zeros((16, 128), jnp.bfloat16))
-    geom_ops = (tri_rows, norm_rows, grid.tri_index, grid.obj,
-                aabb_rows, aabb_lane, qsel, matsq)
-    geom_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
+    # quarter-AABB rows for the triangle-axis visit gate (a dummy when
+    # the static quarter count is 1 — operand arity stays fixed)
+    qaabb = (_quarter_aabb_rows(grid, nq) if nq > 1
+             else jnp.zeros((8, 8), jnp.float32))
+    geom_ops = (tri_rows, norm_rows, ids_rows, obj_rows,
+                aabb_rows, aabb_lane, qsel, matsq, qaabb)
+    geom_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
     return (scalar_ops, scalar_specs, geom_ops, geom_specs,
             n_lights, n_objects)
 
@@ -1785,7 +1906,7 @@ def render_tiles(
                 int(chunk) if not terminal else 0,
                 dialect, jitter, int(shadow_samples),
                 l, ls, n_lights, n_objects, mm_attrs_mode(grid, interpret),
-                mats_mm_mode(n_objects, interpret)),
+                mats_mm_mode(n_objects, interpret), quarters_for(b)),
         out_shape=[jax.ShapeDtypeStruct((nt, RAY_TILE), jnp.float32)] * 3,
         grid_spec=pl.GridSpec(
             grid=(nt,),
@@ -1823,10 +1944,10 @@ _ST_ALIVE_ROW = 12  # the aliveness flag row (1.0 alive / 0.0 dead)
 def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
                  dialect, jitter, shadow_samples,
                  num_blocks, num_supers, n_lights, n_objects, mm_attrs,
-                 mats_mm,
+                 mats_mm, nq,
                  xy_ref, cam_ref, lights_ref, mats_ref, off_ref,
                  tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
-                 qsel_ref, matsq_ref, order_ref, entry_ref,
+                 qsel_ref, matsq_ref, qaabb_ref, order_ref, entry_ref,
                  st_out, rng_out, *scratch):
     cpuonly = dialect == "cpuonly"
     spos_scr = None
@@ -1889,7 +2010,7 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
         order_ref, entry_ref,
         t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
         dialect=dialect, qsel_ref=qsel_ref if mm_attrs else None,
-        mm_f32_dot=mm_attrs == 2,
+        mm_f32_dot=mm_attrs == 2, qaabb_ref=qaabb_ref, nq=nq,
     )
     shade = _make_shade(
         det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
@@ -1897,6 +2018,7 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
         t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
         dialect=dialect, shadow_samples=shadow_samples, rng_st=rng_st,
         spos_scr=spos_scr, matsq_ref=matsq_ref, mats_mm=mats_mm,
+        qaabb_ref=qaabb_ref, nq=nq,
     )
     rng_next_lane, hemisphere = _make_rng_hemisphere(
         rng_st, hm_x, hm_y, hm_z)
@@ -1939,10 +2061,11 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
 def _resume_kernel(det_eps, tmin, shadow_eps, shadow_tmin, max_depth,
                    diffuse_bounce, dialect, shadow_samples,
                    num_blocks, num_supers,
-                   n_lights, n_objects, mm_attrs, mats_mm,
+                   n_lights, n_objects, mm_attrs, mats_mm, nq,
                    cam_ref, lights_ref, mats_ref,
                    tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
-                   qsel_ref, matsq_ref, order_ref, entry_ref, st_ref, rng_ref,
+                   qsel_ref, matsq_ref, qaabb_ref, order_ref, entry_ref,
+                   st_ref, rng_ref,
                    r_out, g_out, b_out, *scratch):
     cpuonly = dialect == "cpuonly"
     spos_scr = None
@@ -1974,7 +2097,7 @@ def _resume_kernel(det_eps, tmin, shadow_eps, shadow_tmin, max_depth,
         order_ref, entry_ref,
         t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
         dialect=dialect, qsel_ref=qsel_ref if mm_attrs else None,
-        mm_f32_dot=mm_attrs == 2,
+        mm_f32_dot=mm_attrs == 2, qaabb_ref=qaabb_ref, nq=nq,
     )
     shade = _make_shade(
         det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
@@ -1982,6 +2105,7 @@ def _resume_kernel(det_eps, tmin, shadow_eps, shadow_tmin, max_depth,
         t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
         dialect=dialect, shadow_samples=shadow_samples, rng_st=rng_st,
         spos_scr=spos_scr, matsq_ref=matsq_ref, mats_mm=mats_mm,
+        qaabb_ref=qaabb_ref, nq=nq,
     )
     rng_next_lane, hemisphere = _make_rng_hemisphere(
         rng_st, hm_x, hm_y, hm_z)
@@ -2096,7 +2220,8 @@ def emit_tiles(
                 bool(scene.diffuse_bounce),
                 dialect, jitter, int(shadow_samples),
                 l, ls, n_lights, n_objects, mm_attrs_mode(grid, interpret),
-                mats_mm_mode(n_objects, interpret)),
+                mats_mm_mode(n_objects, interpret),
+                quarters_for(grid.tri_index.shape[1])),
         out_shape=[
             jax.ShapeDtypeStruct((nt * _ST_ROWS, RAY_TILE), jnp.float32),
             jax.ShapeDtypeStruct((nt * 8, RAY_TILE), jnp.int32),
@@ -2168,7 +2293,8 @@ def resume_tiles(
                 int(scene.max_bounces), bool(scene.diffuse_bounce),
                 dialect, int(shadow_samples),
                 l, 128, n_lights, n_objects, mm_attrs_mode(grid, interpret),
-                mats_mm_mode(n_objects, interpret)),
+                mats_mm_mode(n_objects, interpret),
+                quarters_for(grid.tri_index.shape[1])),
         out_shape=[jax.ShapeDtypeStruct((nt, RAY_TILE), jnp.float32)] * 3,
         grid_spec=pl.GridSpec(
             grid=(nt,),
@@ -2184,10 +2310,11 @@ def resume_tiles(
 def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
                         diffuse_bounce, dialect, shadow_samples, chunk,
                         num_blocks, num_supers, n_lights, n_objects,
-                        mm_attrs, mats_mm,
+                        mm_attrs, mats_mm, nq,
                         cam_ref, lights_ref, mats_ref,
                         tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref,
-                        alane_ref, qsel_ref, matsq_ref, order_ref, entry_ref,
+                        alane_ref, qsel_ref, matsq_ref, qaabb_ref,
+                        order_ref, entry_ref,
                         st_ref, rng_ref,
                         st_out, rng_out, *scratch):
     """ONE planned bounce on packed per-ray state (state in, state out).
@@ -2236,7 +2363,7 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
         t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
         chunk=chunk, col_scr=col_scr,
         dialect=dialect, qsel_ref=qsel_ref if mm_attrs else None,
-        mm_f32_dot=mm_attrs == 2,
+        mm_f32_dot=mm_attrs == 2, qaabb_ref=qaabb_ref, nq=nq,
     )
     shade = _make_shade(
         det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
@@ -2246,6 +2373,7 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
         blk_col=col_scr[0] if chunk else None,
         dialect=dialect, shadow_samples=shadow_samples, rng_st=rng_st,
         spos_scr=spos_scr, matsq_ref=matsq_ref, mats_mm=mats_mm,
+        qaabb_ref=qaabb_ref, nq=nq,
     )
     rng_next_lane, hemisphere = _make_rng_hemisphere(
         rng_st, hm_x, hm_y, hm_z)
@@ -2336,7 +2464,8 @@ def bounce_step_tiles(
                 bool(scene.diffuse_bounce), dialect, int(shadow_samples),
                 int(chunk),
                 l, ls, n_lights, n_objects, mm_attrs_mode(grid, interpret),
-                mats_mm_mode(n_objects, interpret)),
+                mats_mm_mode(n_objects, interpret),
+                quarters_for(grid.tri_index.shape[1])),
         out_shape=[
             jax.ShapeDtypeStruct((nt * _ST_ROWS, RAY_TILE), jnp.float32),
             jax.ShapeDtypeStruct((nt * 8, RAY_TILE), jnp.int32),

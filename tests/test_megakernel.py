@@ -293,6 +293,34 @@ def test_mats_qsel_bf16_split_reconstructs_bitexact():
     assert not np.any(q[n:])
 
 
+def test_quarter_gating_bit_identical(monkeypatch):
+    """Triangle-axis quarter gating (RT_QUARTER) must not shift a bit:
+    quarters combine through the same lexicographic (t, id) take rule
+    and min is an exact reduction, so the winner — and the image — is
+    identical to the ungated dense visit."""
+    import raytracinginonesemester_tpu.ops.megakernel as mk
+    from raytracinginonesemester_tpu.ops.accel import build_block_grid
+    from raytracinginonesemester_tpu.render.renderer import _swizzled_grid
+
+    scene = _two_frog_scene(width=64, height=32, diffuse_bounce=True,
+                            max_bounces=3)
+    # conftest pins RT_BLOCK_SIZE=128 (gating disabled there); rebuild
+    # the grid at the production 512-lane blocks so the gate compiles
+    geom = scene.geometry
+    grid = build_block_grid(
+        geom.vertices, jnp.asarray(geom.num_triangles),
+        normals=geom.normals, obj_ids=geom.obj_id, block_size=512)
+    scene = dataclasses.replace(scene, terminal_only=False, accel=grid)
+    xs, ys, _ = _swizzled_grid(64, 32)
+    assert mk.quarters_for(scene.accel.tri_index.shape[1]) > 1
+    a = np.asarray(mk.render_tiles(scene, xs, ys, 1, interpret=True))
+    monkeypatch.setattr(mk, "_QUARTER_ENV", False)
+    mk.render_tiles.clear_cache()  # nq is read inside the traced fn
+    b = np.asarray(mk.render_tiles(scene, xs, ys, 1, interpret=True))
+    mk.render_tiles.clear_cache()
+    np.testing.assert_array_equal(a, b)
+
+
 def test_block_layouts_bit_identical():
     """Morton-run and LBVH-treelet block layouts must render the SAME
     image bit for bit: the winner selection ties break on (t, global
