@@ -315,6 +315,23 @@ def main():
     print(f"frame batching: {'merged' if merge else 'scan'} "
           f"x{args.frames}", file=sys.stderr)
 
+    # rtt floor: a no-op dispatch (tiny jitted reduction, synced by the
+    # same scalar fetch) — the tunnel's per-dispatch host RTT.  Quoted
+    # in the JSON so readers can attribute run-to-run variance to the
+    # tunnel instead of the kernels (round-3 verdict #5: 74/135/78 ms
+    # LBVH "regressions" were tunnel noise with nothing recorded to
+    # prove it).
+    noop = jax.jit(lambda x: jnp.sum(x) * 0.0 + x[0])
+    float(jax.device_get(noop(jnp.arange(8, dtype=jnp.float32))))  # compile
+    rtt_times = []
+    for i in range(7):
+        t0 = time.time()
+        float(jax.device_get(noop(jnp.arange(8, dtype=jnp.float32) + i)))
+        rtt_times.append(time.time() - t0)
+    rtt_floor_ms = sorted(rtt_times)[len(rtt_times) // 2] * 1e3
+    print(f"rtt floor (no-op dispatch, median of 7): {rtt_floor_ms:.1f} ms",
+          file=sys.stderr)
+
     t0 = time.time()
     checksum = float(jax.device_get(frame_checksum(scene, 0)))
     warm_s = time.time() - t0
@@ -349,6 +366,9 @@ def main():
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / 5e8,
+        "frame_ms": round(dt * 1e3, 2),
+        "rtt_floor_ms": round(rtt_floor_ms, 1),
+        "warmup_s": round(warm_s, 1),
     }))
 
 

@@ -44,6 +44,10 @@ _STREAM_ENV = _os.environ.get("RT_STREAM", "1") == "1"
 # (scripts/probe_grad_parts.py).  Wrong gradients when set — never use
 # outside probes.
 _DIFF_SG = set(filter(None, _os.environ.get("RT_DIFF_SG", "").split(",")))
+# Read ONCE at import, like _STREAM_ENV: an env read at trace time
+# would be captured by the first trace and masked by the jit cache
+# (flipping the knob between renders would silently do nothing).
+_DIFF_UNROLL_ENV = _os.environ.get("RT_DIFF_UNROLL", "")
 
 
 def merge_hits_over_axis(hits, axis_name: str, extra=None):
@@ -477,9 +481,8 @@ def trace_rays(
         # 3 #8) — unrolled, XLA fuses across bounce boundaries and
         # residuals stay unstacked.  Deep loops keep the scan to bound
         # compile time/program size (RT_DIFF_UNROLL overrides).
-        unroll_env = _os.environ.get("RT_DIFF_UNROLL", "")
-        if unroll_env:
-            unroll = unroll_env == "1"
+        if _DIFF_UNROLL_ENV:
+            unroll = _DIFF_UNROLL_ENV == "1"
         else:
             unroll = int(max_depth) <= 8
         if unroll:

@@ -191,25 +191,39 @@ def megakernel_kwargs(scene, jitter_mode: str) -> dict:
     )
 
 
-def megakernel_eligible(scene, jitter_mode: str) -> bool:
-    """Static-only eligibility for the fused path (see module docstring)."""
-    if (
-        scene.accel is None
-        or not fits_vmem(scene.accel)
+def megakernel_ineligible_reason(scene, jitter_mode: str):
+    """Why a scene falls off the fused fast path (None = eligible).
+
+    The reasons matter operationally: the staged/XLA fallbacks are
+    correct but ~10x slower, so drivers surface this string instead of
+    silently degrading (round-3 verdict #7)."""
+    if scene.accel is None:
+        return "no block-grid accel (accel=None)"
+    if not fits_vmem(scene.accel):
+        return "triangle planes exceed the kernel VMEM budget"
+    if getattr(scene, "differentiable", False):
         # detached-diff scenes differentiate through the staged
         # integrator; the fused kernels are not differentiable
-        or getattr(scene, "differentiable", False)
-    ):
-        return False
+        return "differentiable scene (staged integrator only)"
     if scene.dialect == "gpu":
-        return jitter_mode == "wang"
+        if jitter_mode != "wang":
+            return f"gpu dialect with jitter_mode={jitter_mode!r} (needs 'wang')"
+        return None
     if scene.dialect == "cpuonly":
         # soft-shadow walks unroll statically: keep the kernel bounded
-        return (
-            jitter_mode in ("wang", "center")
-            and int(scene.lights.max_shadow_samples()) <= 16
-        )
-    return False
+        if jitter_mode not in ("wang", "center"):
+            return (f"cpuonly dialect with jitter_mode={jitter_mode!r} "
+                    "(needs 'wang'/'center')")
+        if int(scene.lights.max_shadow_samples()) > 16:
+            return (f"shadow_samples={int(scene.lights.max_shadow_samples())}"
+                    " > 16 (static soft-shadow unroll bound)")
+        return None
+    return f"unknown dialect {scene.dialect!r}"
+
+
+def megakernel_eligible(scene, jitter_mode: str) -> bool:
+    """Static-only eligibility for the fused path (see module docstring)."""
+    return megakernel_ineligible_reason(scene, jitter_mode) is None
 
 
 # --- in-kernel RNG (bit-compatible with core.rng / query.h:32-48) ---

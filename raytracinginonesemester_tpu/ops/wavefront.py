@@ -715,28 +715,34 @@ _CAP_CACHE: dict = {}
 # calibration emit dispatch (and, with a warm XLA compile cache, the
 # emit kernel compile).  Keyed by the scene fingerprint below; same
 # correctness story — a wrong capacity only costs the overflow cond.
-_CAP_CACHE_PATH = _os.environ.get(
-    "RT_CAP_CACHE", _os.path.join("/tmp", "rt_capacity_cache.json"))
+_CAP_CACHE_DIR = _os.environ.get(
+    "RT_CAP_CACHE", _os.path.join("/tmp", "rt_capacity_cache"))
 
 
-def _disk_cache_load() -> dict:
+def _disk_cache_load(key: str):
+    """Return the cached value for ``key``, or the sentinel ``()``.
+
+    One file per fingerprint (not one shared JSON): concurrent stores
+    from different processes (bench + probe) are then commutative —
+    each os.replace lands its own key, nothing is read-modify-written.
+    """
     import json
     try:
-        with open(_CAP_CACHE_PATH) as f:
+        with open(_os.path.join(_CAP_CACHE_DIR, f"{key}.json")) as f:
             return json.load(f)
     except (OSError, ValueError):
-        return {}
+        return ()
 
 
 def _disk_cache_store(key: str, value) -> None:
     import json
     try:
-        cache = _disk_cache_load()
-        cache[key] = value
-        tmp = f"{_CAP_CACHE_PATH}.{_os.getpid()}.tmp"
+        _os.makedirs(_CAP_CACHE_DIR, exist_ok=True)
+        path = _os.path.join(_CAP_CACHE_DIR, f"{key}.json")
+        tmp = f"{path}.{_os.getpid()}.tmp"
         with open(tmp, "w") as f:
-            json.dump(cache, f)
-        _os.replace(tmp, _CAP_CACHE_PATH)
+            json.dump(value, f)
+        _os.replace(tmp, path)
     except OSError:
         pass  # cache is best-effort
 
@@ -783,11 +789,10 @@ def auto_capacity_tiles(scene, margin: float = 1.2, **kw) -> int | None:
         # that want staging warm the cache with one eager render first.
         return None
     fp = _scene_fingerprint(scene, key)
-    disk = _disk_cache_load()
-    if fp in disk:
-        result = disk[fp]
-        _CAP_CACHE[key] = result
-        return result
+    cached = _disk_cache_load(fp)
+    if cached != ():
+        _CAP_CACHE[key] = cached
+        return cached
     from ..render.renderer import _swizzled_grid
 
     w, h = int(scene.camera.width), int(scene.camera.height)

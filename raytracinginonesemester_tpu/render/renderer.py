@@ -225,6 +225,29 @@ def resolve_wavefront(scene: Scene, jitter_mode: str = "auto",
     return wavefront, wavefront_cap
 
 
+def _warn_if_fallback(scene, jitter_mode, spp_override) -> None:
+    """One warning when a scene that WOULD use the fused fast path (TPU
+    backend, use_pallas unset/true) falls back to the ~10x slower
+    staged/XLA integrator — silent perf cliffs cost users minutes per
+    frame (round-3 review).  Warned once per (reason) per process."""
+    from ..ops.megakernel import megakernel_ineligible_reason
+    from ..utils.logging import warn_once
+
+    use_pallas = scene.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        return
+    spp_eff = spp_override if spp_override is not None else scene.spp
+    jm = resolve_jitter_mode(scene, jitter_mode, spp_eff)
+    reason = megakernel_ineligible_reason(scene, jm)
+    if reason is not None:
+        warn_once(
+            f"mk-fallback:{reason}",
+            f"scene falls off the fused fast path ({reason}); "
+            "rendering via the staged/XLA integrator (~10x slower)")
+
+
 def render_scene(
     scene: Scene,
     jitter_mode: str = "auto",
@@ -269,6 +292,7 @@ def render_scene(
     # parallel/sharded.py.)
     wavefront, wavefront_cap = resolve_wavefront(
         scene, jitter_mode, spp_override)
+    _warn_if_fallback(scene, jitter_mode, spp_override)
     return _render_scene_jit(
         scene, jitter_mode=jitter_mode, ray_tile=ray_tile,
         spp_override=spp_override, sample_offset=sample_offset,
@@ -361,6 +385,7 @@ def render_scene_frames(
     to an in-graph scan of single-frame renders — same images, only the
     dispatch batching differs."""
     wavefront, wavefront_cap = resolve_wavefront(scene, jitter_mode, 1)
+    _warn_if_fallback(scene, jitter_mode, 1)
     return _render_scene_frames_jit(
         scene, frames=frames, jitter_mode=jitter_mode, ray_tile=ray_tile,
         sample_offset=sample_offset, wavefront=wavefront,

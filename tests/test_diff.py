@@ -125,7 +125,8 @@ def scene_detached():
                                differentiable=True, use_pallas=False)
 
 
-def test_detached_traversal_gradients_match_brute(scene, scene_detached):
+def test_detached_traversal_gradients_match_brute(scene, scene_detached,
+                                                  monkeypatch):
     """The detached-traversal mode (fast block traversal under
     stop_gradient + differentiable winner recompute) must produce the
     EXACT forward image of the non-differentiable block-accel path on
@@ -154,14 +155,16 @@ def test_detached_traversal_gradients_match_brute(scene, scene_detached):
     np.testing.assert_allclose(np.asarray(fwd_det),
                                np.asarray(fwd_blocks), rtol=0, atol=1e-6)
     # matched loop structure (scan, like the non-diff while body):
-    # the passthrough invariant holds bit-for-bit
-    os.environ["RT_DIFF_UNROLL"] = "0"
-    try:
-        fwd_det_scan = render_scene(
-            dataclasses.replace(scene_detached, spp=2),  # new jit key
-            jitter_mode="center", spp_override=1)
-    finally:
-        del os.environ["RT_DIFF_UNROLL"]
+    # the knob is an import-time module constant (trace-time env reads
+    # are masked by the jit cache), so patch the constant — monkeypatch
+    # restores it, and the replaced spp forges a fresh jit key
+    import raytracinginonesemester_tpu.ops.integrator as integ
+
+    monkeypatch.setattr(integ, "_DIFF_UNROLL_ENV", "0")
+    fwd_det_scan = render_scene(
+        dataclasses.replace(scene_detached, spp=2),  # new jit key
+        jitter_mode="center", spp_override=1)
+    monkeypatch.setattr(integ, "_DIFF_UNROLL_ENV", "")
     np.testing.assert_array_equal(np.asarray(fwd_det_scan),
                                   np.asarray(fwd_blocks))
     np.testing.assert_allclose(np.asarray(fwd_det), np.asarray(fwd_brute),

@@ -314,7 +314,7 @@ def test_quarter_gating_bit_identical(monkeypatch):
     xs, ys, _ = _swizzled_grid(64, 32)
     assert mk.quarters_for(scene.accel.tri_index.shape[1]) > 1
     a = np.asarray(mk.render_tiles(scene, xs, ys, 1, interpret=True))
-    monkeypatch.setattr(mk, "_QUARTER_ENV", False)
+    monkeypatch.setattr(mk, "_QUARTER_LANES", 0)
     mk.render_tiles.clear_cache()  # nq is read inside the traced fn
     b = np.asarray(mk.render_tiles(scene, xs, ys, 1, interpret=True))
     mk.render_tiles.clear_cache()
