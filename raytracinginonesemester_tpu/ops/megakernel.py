@@ -141,6 +141,15 @@ _MM_ATTRS = _os.environ.get("MK_MM_ATTRS", "1") == "1"
 # behind the flag as a recorded negative result.
 _CHUNK_ROWS = int(_os.environ.get("MK_CHUNK", "0"))
 
+# Sublane-chunk gating for the EMIT (camera) pass's flat-scan visits
+# and shadow walks.  Unlike the round-1 MK_CHUNK=8 negative (64 scalar
+# preds/visit), coarse chunks add only RAY_TILE/chunk preds; the camera
+# pass has whole sky row-chunks and best-t-pruned rows that the tile-
+# level any-gate cannot skip (hull proxy: 43.5% -> 33.2% pairs kept at
+# chunk 256 on top of 128-lane quarters, probe_chunk_quarter_gate.py).
+# Rows per chunk; 0 = off.  Read once at import (jit-cache masking).
+_EMIT_CHUNK = int(_os.environ.get("RT_EMIT_CHUNK", "0"))
+
 # Triangle-axis (quarter-block) gating of the dense visits: each
 # 512-triangle block is split into NQ Morton-contiguous 128-lane
 # quarters with their own AABBs; a firing visit slab-tests each quarter
@@ -1958,13 +1967,14 @@ _ST_ALIVE_ROW = 12  # the aliveness flag row (1.0 alive / 0.0 dead)
 def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
                  dialect, jitter, shadow_samples,
                  num_blocks, num_supers, n_lights, n_objects, mm_attrs,
-                 mats_mm, nq,
+                 mats_mm, nq, chunk,
                  xy_ref, cam_ref, lights_ref, mats_ref, off_ref,
                  tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
                  qsel_ref, matsq_ref, qaabb_ref, order_ref, entry_ref,
                  st_out, rng_out, *scratch):
     cpuonly = dialect == "cpuonly"
     spos_scr = None
+    col_scr = None
     if cpuonly:
         (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
          blk_lane,
@@ -1972,6 +1982,13 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
          bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z,
          sp_x, sp_y, sp_z, unocc) = scratch
         spos_scr = (sp_x, sp_y, sp_z, unocc)
+    elif chunk:
+        (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
+         blk_lane,
+         tp_r, tp_g, tp_b, rd_r, rd_g, rd_b, rng_st, alive_st,
+         bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z,
+         sblk_c, blk_c) = scratch
+        col_scr = (sblk_c, blk_c)
     else:
         (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
          blk_lane,
@@ -2023,6 +2040,7 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
         tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
         order_ref, entry_ref,
         t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
+        chunk=chunk, col_scr=col_scr,
         dialect=dialect, qsel_ref=qsel_ref if mm_attrs else None,
         mm_f32_dot=mm_attrs == 2, qaabb_ref=qaabb_ref, nq=nq,
     )
@@ -2030,6 +2048,8 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
         det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
         tri_ref, ids_ref, aabb_ref, lights_ref, mats_ref,
         t_lane, nx_l, ny_l, nz_l, obj_l, blk_lane,
+        chunk=chunk,
+        blk_col=col_scr[0] if chunk else None,
         dialect=dialect, shadow_samples=shadow_samples, rng_st=rng_st,
         spos_scr=spos_scr, matsq_ref=matsq_ref, mats_mm=mats_mm,
         qaabb_ref=qaabb_ref, nq=nq,
@@ -2042,7 +2062,8 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
         (tp_r, tp_g, tp_b), (rd_r, rd_g, rd_b), rng_st, alive_st,
         (bo_x, bo_y, bo_z), (bd_x, bd_y, bd_z),
         nx_l, ny_l, nz_l, obj_l, hm_refs=(hm_x, hm_y, hm_z),
-        dialect=dialect, matsq_ref=matsq_ref, mats_mm=mats_mm,
+        chunk_shadow=bool(chunk), dialect=dialect,
+        matsq_ref=matsq_ref, mats_mm=mats_mm,
     )
 
     @pl.when(has_work)
@@ -2169,7 +2190,8 @@ def _bounce_scratch(cpuonly: bool = False):
 
 @partial(jax.jit, static_argnames=("interpret", "det_eps", "tmin",
                                    "shadow_eps", "shadow_tmin",
-                                   "dialect", "jitter", "shadow_samples"))
+                                   "dialect", "jitter", "shadow_samples",
+                                   "chunk"))
 def emit_tiles(
     scene,
     xs: Array,
@@ -2185,6 +2207,7 @@ def emit_tiles(
     jitter: str = "wang",
     shadow_samples: int = 1,
     plan=None,
+    chunk: int = None,
 ):
     """Depth-0 pass of the wavefront path: camera rays + direct light +
     the RR bounce decision.  Returns (state, rng_state):
@@ -2195,10 +2218,22 @@ def emit_tiles(
     ``camera_tile_plan`` + ``_pad_plan_rows`` — the plan is
     sample-independent, so spp loops pass it in once instead of
     duplicating its build per sample in the traced graph.
+
+    ``chunk``: sublane-chunk gating of the flat-scan dense visits and
+    shadow walks (``visit_block_chunked``; None = the RT_EMIT_CHUNK
+    default).  The camera pass has whole sky row-chunks and best-t-
+    pruned rows the (1, RT) any-gate cannot skip; chunk preds can —
+    bit-identical winner updates (same per-row take rule).  Only
+    active on the flat-scan path (plan traversal keeps full tiles).
     """
     grid = scene.accel
     xs, ys, n, np_rays = _pad_tiles(xs, ys)
     nt = np_rays // RAY_TILE
+    if chunk is None:
+        chunk = _EMIT_CHUNK
+    if chunk and (RAY_TILE % chunk or chunk % 8 or dialect == "cpuonly"
+                  or emit_flat(grid.num_blocks) is False):
+        chunk = 0
 
     if plan is None:
         order, entry = camera_tile_plan(scene.camera, xs, ys, grid, RAY_TILE)
@@ -2229,13 +2264,17 @@ def emit_tiles(
                         memory_space=pltpu.SMEM)]
     )
 
+    scratch = _bounce_scratch(dialect == "cpuonly")
+    if chunk:
+        scratch += [pltpu.VMEM((RAY_TILE, 1), jnp.float32),
+                    pltpu.VMEM((RAY_TILE, 1), jnp.int32)]
     st, rng = pl.pallas_call(
         partial(_emit_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
                 bool(scene.diffuse_bounce),
                 dialect, jitter, int(shadow_samples),
                 l, ls, n_lights, n_objects, mm_attrs_mode(grid, interpret),
                 mats_mm_mode(n_objects, interpret),
-                quarters_for(grid.tri_index.shape[1])),
+                quarters_for(grid.tri_index.shape[1]), int(chunk)),
         out_shape=[
             jax.ShapeDtypeStruct((nt * _ST_ROWS, RAY_TILE), jnp.float32),
             jax.ShapeDtypeStruct((nt * 8, RAY_TILE), jnp.int32),
@@ -2249,7 +2288,7 @@ def emit_tiles(
                 pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=_bounce_scratch(dialect == "cpuonly"),
+            scratch_shapes=scratch,
         ),
         interpret=interpret,
     )(xy, *scalar_ops, off_row, *geom_ops, order, entry)
