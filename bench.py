@@ -109,6 +109,111 @@ def _bench_backward(args):
     }))
 
 
+def _bench_large(args):
+    """>VMEM-scene benchmark (VERDICT r3 #4): subdivide the frog mesh
+    until >= ``--large`` triangles (midpoint 1->4 splits; identical
+    surface), rebuild the block grid, and measure (a) the HBM-streamed
+    closest-hit pass and (b) a full frame through the staged
+    integrator, at the same 1080p frog.json camera.  Prints ONE JSON
+    line with the closest-pass rays/s as the headline value."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import _frog_scene
+    from raytracinginonesemester_tpu.ops.accel import build_block_grid
+    from raytracinginonesemester_tpu.ops.pallas_kernels import (
+        fits_vmem, num_chunks_for, pallas_block_closest_streamed)
+    from raytracinginonesemester_tpu.render.renderer import render_scene
+    from raytracinginonesemester_tpu.scene.subdivide import subdivide_geometry
+
+    w = args.width or 1920
+    h = args.height or 1080
+    scene = _frog_scene(width=w, height=h, spp=1,
+                        max_bounces=args.bounces or 8,
+                        diffuse_bounce=not args.no_diffuse)
+    levels = 0
+    t = int(scene.geometry.num_triangles)
+    while t * 4 ** levels < args.large:
+        levels += 1
+    t0 = time.time()
+    geom = subdivide_geometry(scene.geometry, levels)
+    grid = build_block_grid(
+        geom.vertices, jnp.asarray(geom.num_triangles),
+        normals=geom.normals, obj_ids=geom.obj_id, block_size=512)
+    jax.block_until_ready(grid.tri)
+    scene = dataclasses.replace(scene, geometry=geom, accel=grid)
+    chunks = num_chunks_for(grid)
+    print(f"large scene: {geom.num_triangles} tris "
+          f"({levels} subdiv levels), {grid.num_blocks} blocks, "
+          f"fits_vmem={fits_vmem(grid)}, hbm_chunks={chunks}, "
+          f"build {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # (a) streamed closest-hit pass on the camera rays
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    o, d = scene.camera.get_rays(
+        jnp.asarray(xs.ravel() + 0.5), jnp.asarray(ys.ravel() + 0.5))
+    closest = jax.jit(lambda o, d, s: pallas_block_closest_streamed(
+        o, d + 0.0 * s, grid, tmin=1e-4, det_eps=1e-8))
+
+    def run_closest(i):
+        hits = closest(o, d, jnp.float32(i))
+        return float(jax.device_get(jnp.sum(hits.t * (hits.t < 1e30))))
+
+    t0 = time.time()
+    chk = run_closest(0)
+    print(f"closest warmup: {time.time() - t0:.1f}s chk {chk:.4g}",
+          file=sys.stderr)
+    times = []
+    for i in range(args.iters):
+        t0 = time.time()
+        run_closest(i + 1)
+        times.append(time.time() - t0)
+    dt_c = sorted(times)[len(times) // 2]
+    rays_c = w * h / dt_c
+    # effective HBM read volume: the 9 f32 triangle planes + the int32
+    # id plane stream through the DMA window once per ray tile
+    nt = -(-w * h // 512)
+    plane_bytes = grid.tri.size * 4 + grid.tri_index.size * 4
+    bw = plane_bytes * nt / dt_c / 1e9
+    print(f"streamed closest: {dt_c*1e3:.1f} ms @ {w}x{h} "
+          f"-> {rays_c:.3e} rays/s, ~{bw:.0f} GB/s effective HBM read",
+          file=sys.stderr)
+
+    # (b) full frame through the staged integrator (streamed kernels)
+    render = jax.jit(lambda s, off: jnp.sum(render_scene(
+        s, jitter_mode="wang", sample_offset=off)))
+    t0 = time.time()
+    chk = float(jax.device_get(render(scene, 0)))
+    print(f"render warmup: {time.time() - t0:.1f}s chk {chk:.4g}",
+          file=sys.stderr)
+    times = []
+    for i in range(max(args.iters, 2)):
+        t0 = time.time()
+        float(jax.device_get(render(scene, i + 1)))
+        times.append(time.time() - t0)
+    dt_r = sorted(times)[len(times) // 2]
+    print(f"full frame (staged, depth={scene.max_bounces}): "
+          f"{dt_r*1e3:.1f} ms -> {w*h/dt_r:.3e} rays/s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "large_scene_rays_per_s",
+        "value": rays_c,
+        "unit": "rays/s",
+        "vs_baseline": rays_c / 5e8,
+        "tris": int(geom.num_triangles),
+        "closest_ms": round(dt_c * 1e3, 1),
+        "frame_ms": round(dt_r * 1e3, 1),
+        "hbm_gb_per_s": round(bw, 1),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=None)
@@ -153,6 +258,11 @@ def main():
                     "vertices on the differentiable sphere scene "
                     "(BASELINE config 4); prints backward_rays_per_s as "
                     "the JSON line")
+    ap.add_argument("--large", type=int, default=0,
+                    help="benchmark a >VMEM synthetic scene instead: "
+                    "subdivide the frog mesh to >= this many triangles "
+                    "(e.g. 1000000) and measure the HBM-streamed "
+                    "closest-hit pass + a full staged-integrator frame")
     ap.add_argument("--scene", type=str, default=None,
                     help="benchmark an arbitrary reference-format scene "
                     "JSON (either dialect) instead of the built-in frog "
@@ -162,6 +272,9 @@ def main():
 
     if args.quick:
         args.width, args.height, args.iters = 320, 180, 2
+    if args.large:
+        _bench_large(args)
+        return
     if args.grad:
         import jax
 

@@ -82,3 +82,50 @@ def test_checkpoint_roundtrip(tmp_path):
     step, params, _, losses = load_checkpoint(d)
     assert step == 7 and losses == [0.5]
     np.testing.assert_allclose(np.asarray(params["a"]), [0, 2, 4, 6])
+
+
+def test_subdivide_preserves_surface():
+    """Midpoint subdivision (scene.subdivide): 4x count per level, the
+    union of children covers exactly the parent surface (area sum and
+    AABB preserved), children inherit the parent's obj id, and a
+    closest-hit render through the subdivided geometry finds the same
+    hit distances (same surface -> same t, up to fp reassociation)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from raytracinginonesemester_tpu.ops.intersect import intersect_closest
+    from raytracinginonesemester_tpu.scene.subdivide import subdivide_tris
+
+    rs = np.random.RandomState(3)
+    v = rs.standard_normal((7, 3, 3)).astype(np.float32)
+    n = rs.standard_normal((7, 3, 3)).astype(np.float32)
+    o = np.arange(7, dtype=np.int32)
+    sv, sn, so = subdivide_tris(v, n, o, levels=2)
+    assert sv.shape == (7 * 16, 3, 3) and so.shape == (112,)
+    np.testing.assert_array_equal(so, np.repeat(o, 16))
+
+    def area(t):
+        e1 = t[:, 1] - t[:, 0]
+        e2 = t[:, 2] - t[:, 0]
+        return 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+
+    np.testing.assert_allclose(
+        area(sv).reshape(7, 16).sum(1), area(v), rtol=1e-5)
+    np.testing.assert_allclose(sv.reshape(7, -1, 3).min(1),
+                               v.min(1), atol=1e-6)
+    np.testing.assert_allclose(sv.reshape(7, -1, 3).max(1),
+                               v.max(1), atol=1e-6)
+
+    # same surface -> same closest-hit distances
+    pad = lambda a: np.concatenate(
+        [a, np.broadcast_to(a[0, 0], ((-len(a)) % 512, 3, 3))]).astype(
+            np.float32)
+    origins = jnp.asarray(rs.standard_normal((64, 3)).astype(np.float32) * 4)
+    dirs = rs.standard_normal((64, 3)).astype(np.float32)
+    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=1, keepdims=True))
+    h0 = intersect_closest(origins, dirs, jnp.asarray(pad(v)))
+    h1 = intersect_closest(origins, dirs, jnp.asarray(pad(sv)))
+    np.testing.assert_array_equal(np.asarray(h0.hit), np.asarray(h1.hit))
+    np.testing.assert_allclose(
+        np.where(np.asarray(h0.hit), np.asarray(h0.t), 0.0),
+        np.where(np.asarray(h1.hit), np.asarray(h1.t), 0.0), rtol=2e-5)
