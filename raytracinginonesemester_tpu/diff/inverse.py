@@ -143,19 +143,32 @@ def apply_params(scene: Scene, params: Dict[str, Array]) -> Scene:
     )
 
 
-@partial(jax.jit, static_argnames=("jitter_mode", "spp_override"))
+@partial(jax.jit, static_argnames=("jitter_mode", "spp_override",
+                                   "ray_tile"))
 def render_loss(
     params: Dict[str, Array],
     scene: Scene,
     target: Array,
     jitter_mode: str = "center",
     spp_override: Optional[int] = None,
+    ray_tile: Optional[int] = None,
 ) -> Array:
-    """Mean-squared pixel loss between the parameterized render and target."""
+    """Mean-squared pixel loss between the parameterized render and target.
+
+    ``ray_tile``: rays per integrator tile.  Default (None) = 0, the
+    WHOLE frame as one tile: the renderer's 16,384-ray tiling exists
+    for memory headroom on huge frames, but under value_and_grad it
+    turns the render into a sequential 32-iteration while loop whose
+    carry stacks every residual — per-tile kernel launches and carry
+    traffic cost ~45 ms/step at 960x540 bounces-2 on v5e (measured,
+    docs/DESIGN.md round 4).  Memory-constrained callers can pass a
+    tile size back and set RT_DIFF_REMAT=1 (remat pays at small tiles,
+    loses at whole-frame)."""
     img = render_scene(
         apply_params(scene, params),
         jitter_mode=jitter_mode,
         spp_override=spp_override,
+        ray_tile=0 if ray_tile is None else ray_tile,
     )
     return jnp.mean((img - target) ** 2)
 

@@ -115,20 +115,59 @@ def segment_accum_rows(idx: Array, ct: Array, rows: int,
     return out[:rows, :f]
 
 
+# XLA's row gather lowers to a ~4 ms/call kCustom gather fusion at
+# R=518k on v5e (effective ~5 GB/s — scalar-unit driven), and the diff
+# integrator pays 6-8 of them per step (tri + normals x bounces;
+# profiled, docs/DESIGN.md round 4).  For small tables the MXU does the
+# same selection at streaming rate: one-hot(idx) @ [hi|mid|lo] bf16
+# splits of the table, f32-accumulated — bit-exact reconstruction for
+# |q| in [1e-32, 3.38e38] (same 3-part trick as the megakernel's qsel
+# winner-attr matmul; scripts/probe_mm_select.py).  The one-hot is
+# fused into the dot by XLA, never materialized.  Above the row bound
+# the O(R*T) MACs stop paying; XLA's gather wins.
+import os as _os
+
+_MXU_GATHER_MAX_ROWS = int(_os.environ.get("RT_MXU_GATHER_MAX", "8192"))
+
+
+def _mxu_gather(table2d: Array, idx: Array) -> Array:
+    """Exact ``table2d[idx]`` ((T, F) f32, (R,) i32 -> (R, F) f32)
+    through one bf16 MXU matmul of the 3-part-split table."""
+    from .bf16_split import bf16_split3
+
+    t, f = table2d.shape
+    hi, mid, lo = bf16_split3(table2d)  # fold-proof (see bf16_split)
+    parts = jnp.concatenate([hi, mid, lo], axis=1)  # (T, 3F) bf16
+    oh = jax.nn.one_hot(idx, t, dtype=jnp.bfloat16)  # (R, T), fused
+    out = jnp.dot(oh, parts, preferred_element_type=jnp.float32)
+    return out[:, :f] + out[:, f:2 * f] + out[:, 2 * f:]
+
+
+def _gather_impl(rows, interpret, table, idx):
+    if interpret or rows > _MXU_GATHER_MAX_ROWS:
+        return table[idx]
+    trail = table.shape[1:]
+    f = int(np.prod(trail)) if trail else 1
+    out = _mxu_gather(table.reshape(rows, f), idx)
+    return out.reshape((idx.shape[0],) + trail)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def gather_rows(rows: int, interpret: bool, table: Array, idx: Array):
     """``table[idx]`` with the table cotangent routed through the
-    Pallas one-hot accumulate instead of XLA's scatter-add.
+    Pallas one-hot accumulate instead of XLA's scatter-add, and (for
+    tables up to ``_MXU_GATHER_MAX_ROWS`` rows) the forward selection
+    through an exact bf16-split MXU matmul instead of XLA's gather.
 
     ``rows`` must equal ``table.shape[0]`` (passed statically so the
     backward rule needs no shape residuals); trailing dims of ``table``
     must total <= 16 elements; idx (R,) int32 in [0, rows).
     """
-    return table[idx]
+    return _gather_impl(rows, interpret, table, idx)
 
 
 def _gather_fwd(rows, interpret, table, idx):
-    return table[idx], idx
+    return _gather_impl(rows, interpret, table, idx), idx
 
 
 def _gather_bwd(rows, interpret, idx, ct):
@@ -141,3 +180,41 @@ def _gather_bwd(rows, interpret, idx, ct):
 
 
 gather_rows.defvjp(_gather_fwd, _gather_bwd)
+
+
+def gather_int_rows(table: Array, idx: Array, interpret: bool) -> Array:
+    """``table[idx]`` for an int32 row vector (e.g. per-triangle object
+    ids) through the MXU one-hot selection — XLA's s32 gather fusion
+    measured 3.7 ms/call at R=518k on v5e (round 4).  Exact for
+    |values| <= 2^24 (integers are exact in f32; the 3-part split is
+    exact; the round-trip cast is exact)."""
+    rows = table.shape[0]
+    if interpret or rows > _MXU_GATHER_MAX_ROWS:
+        return table[idx]
+    out = _mxu_gather(table.astype(jnp.float32).reshape(rows, 1), idx)
+    return out.reshape(idx.shape).astype(jnp.int32)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def gather_table_small(rows: int, table: Array, idx: Array) -> Array:
+    """``table[clip(idx)]`` for a SMALL (rows, F) table whose table
+    cotangent is a one-hot MXU contraction instead of XLA's scatter-add
+    (the scatter fusion measured 4.5 ms/call at R=518k on v5e — the
+    albedo gradient was one of the two largest backward terms)."""
+    return table[jnp.clip(idx, 0, rows - 1)]
+
+
+def _gts_fwd(rows, table, idx):
+    i = jnp.clip(idx, 0, rows - 1)
+    return table[i], i
+
+
+def _gts_bwd(rows, i, ct):
+    oh = jax.nn.one_hot(i, rows, dtype=ct.dtype)
+    grad = jax.lax.dot_general(
+        oh, ct, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+    return grad, None
+
+
+gather_table_small.defvjp(_gts_fwd, _gts_bwd)

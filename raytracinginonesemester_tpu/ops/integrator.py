@@ -48,6 +48,13 @@ _DIFF_SG = set(filter(None, _os.environ.get("RT_DIFF_SG", "").split(",")))
 # would be captured by the first trace and masked by the jit cache
 # (flipping the knob between renders would silently do nothing).
 _DIFF_UNROLL_ENV = _os.environ.get("RT_DIFF_UNROLL", "")
+# Remat the unrolled diff bounce chain (save only kernel outputs);
+# see trace_rays.  Default OFF: at the whole-frame tiling render_loss
+# now defaults to, storing residuals beats recomputing the chains
+# (119 vs 138 ms/step @960x540 bounces-2); at small ray tiles the
+# stacked-residual carry dominates and remat wins (136 vs 174) — set
+# RT_DIFF_REMAT=1 together with an explicit ray_tile.
+_DIFF_REMAT = _os.environ.get("RT_DIFF_REMAT", "0") == "1"
 
 
 def merge_hits_over_axis(hits, axis_name: str, extra=None):
@@ -263,10 +270,16 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
         # which-triangle choice has zero gradient anyway away from
         # silhouettes, exactly like the brute-force path's argmin).
         sg = jax.lax.stop_gradient
+        from jax.ad_checkpoint import checkpoint_name
+
+        # tag the kernel outputs so the RT_DIFF_REMAT policy saves them
+        # across the remat boundary (everything else is recomputed in
+        # the backward pass; the Pallas kernels must NOT re-run there)
+        _ckpt = lambda x: checkpoint_name(x, "diff_kernel")
         inner_closest = closest_fn
         def closest_fn(o, d):
             hits, kn, kv = inner_closest(sg(o), sg(d))
-            hits = jax.tree.map(sg, hits)
+            hits = jax.tree.map(lambda x: _ckpt(sg(x)), hits)
             idx = jnp.maximum(hits.tri_idx, 0)
             # differentiable gather (R, 3, 3); stashed in tri_cell so
             # make_hit_frame reuses it and the gather is paid once per
@@ -276,12 +289,18 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
             # scatter was the largest single term of the backward pass
             # (~37 ms/bounce at 518k rays; scripts/probe_grad_cost.py)
             from .diff_gather import gather_rows
-            tri = gather_rows(geom.vertices.shape[0],
-                              jax.default_backend() != "tpu",
+            interp_g = jax.default_backend() != "tpu"
+            tri = gather_rows(geom.vertices.shape[0], interp_g,
                               geom.vertices, idx)
             if "tri" in _DIFF_SG:
                 tri = sg(tri)
-            tri_cell[0] = tri
+            # winner NORMALS ride the same MXU one-hot gather: the XLA
+            # row gather costs ~4 ms/call at R=518k (profiled round 4)
+            # and the backward scatter (if normals are ever optimized)
+            # gets the Pallas accumulate for free
+            tn = gather_rows(geom.normals.shape[0], interp_g,
+                             geom.normals, idx)
+            tri_cell[0] = (tri, tn)
             t2, u2, v2 = mt_single(o, d, tri, det_eps)
             thru = lambda a, b: a + (b - sg(b))
             hits = HitData(
@@ -295,7 +314,8 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
             # differentiable gathers; kernel VISIBILITY is kept (sg'ed):
             # a 0/1 step function carries no gradient anywhere, and the
             # fused walk replaces two occlusion launches per bounce
-            kv = None if kv is None else jax.tree.map(sg, kv)
+            kv = None if kv is None else jax.tree.map(
+                lambda x: _ckpt(sg(x)), kv)
             return hits, None, kv
 
         # occlusion is a 0/1 step function of its inputs (no useful
@@ -305,7 +325,8 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
         inner_occlude = occlude_fn
 
         def occlude_fn(o, d, s_tmin, s_tmax):
-            return inner_occlude(sg(o), sg(d), sg(s_tmin), sg(s_tmax))
+            return _ckpt(inner_occlude(sg(o), sg(d), sg(s_tmin),
+                                       sg(s_tmax)))
 
     def bounce(carry, _):
         o, d, throughput, radiance, state, alive = carry
@@ -334,9 +355,12 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
             p = o + hits.t[:, None] * d
             n = kernel_n
         else:
+            tri_tn = tri_cell[0]
             p, n, _ = make_hit_frame(
                 o, d, hits, geom.vertices, geom.normals,
-                mode=scene.dialect, tri=tri_cell[0]
+                mode=scene.dialect,
+                tri=tri_tn[0] if tri_tn is not None else None,
+                tn=tri_tn[1] if tri_tn is not None else None,
             )
             if "p" in _DIFF_SG:
                 p = jax.lax.stop_gradient(p)
@@ -345,7 +369,9 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
         # park miss/dead lanes' shade points too: their shadow rays then
         # cull instantly instead of tracing from a garbage position
         p = jnp.where(found[:, None], p, 1e30)
-        obj = geom.obj_id[jnp.maximum(hits.tri_idx, 0)]
+        from .diff_gather import gather_int_rows
+        obj = gather_int_rows(geom.obj_id, jnp.maximum(hits.tri_idx, 0),
+                              jax.default_backend() != "tpu")
         mat = scene.materials.gather(obj)
 
         # --- direct lighting ---
@@ -384,6 +410,14 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
             state_h, hemi = rnglib.random_on_hemisphere(
                 jax.lax.stop_gradient(n_unit), state
             )
+            if differentiable:
+                # save the sampled directions across the remat boundary:
+                # they are constants to the gradient (detached sampler)
+                # but recomputing them would replay the rejection
+                # while_loop in the backward pass
+                from jax.ad_checkpoint import checkpoint_name
+                state_h = checkpoint_name(state_h, "diff_kernel")
+                hemi = checkpoint_name(hemi, "diff_kernel")
             state = jnp.where(take_diffuse, state_h, state)
             ndotl = jnp.maximum(jnp.sum(n_unit * hemi, axis=-1), 0.0)
             if gpu:
@@ -486,9 +520,24 @@ def trace_rays(
         else:
             unroll = int(max_depth) <= 8
         if unroll:
+            body = lambda c: bounce(c, None)[0]
+            if _DIFF_REMAT and differentiable:
+                # rematerialize the bounce chain in the backward pass,
+                # SAVING only the traversal/occlusion kernel outputs
+                # (tagged "diff_kernel" in make_bounce_step): the
+                # elementwise shading/frame chains are ~free to
+                # recompute on the VPU, while storing their residuals
+                # was ~50 ms/step of HBM-bound fusions at 960x540
+                # bounces-2 (profiled; docs/DESIGN.md round 4) — the
+                # Pallas kernels themselves are never re-run.
+                body = jax.checkpoint(
+                    body,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "diff_kernel"),
+                )
             carry = init
             for _ in range(int(max_depth)):
-                carry, _ = bounce(carry, None)
+                carry = body(carry)
             radiance = carry[3]
         else:
             (_, _, _, radiance, _, _), _ = jax.lax.scan(

@@ -216,6 +216,7 @@ def make_hit_frame(
     normals: Array,
     mode: str = "gpu",
     tri: Array | None = None,
+    tn: Array | None = None,
 ):
     """Derive hit position + shading normal + front_face from a HitData.
 
@@ -233,15 +234,17 @@ def make_hit_frame(
     Returns (p, normal, front_face), with arbitrary values where
     ``hits.hit`` is False — callers mask on ``hits.hit``.
 
-    ``tri``: optionally the already-gathered (R, 3, 3) winner vertices
-    (callers that gathered them for another purpose — e.g. the
-    detached-diff winner recompute — pass them in, so the gather and
-    its backward scatter-add are paid once, not twice).
+    ``tri``/``tn``: optionally the already-gathered (R, 3, 3) winner
+    vertices/normals (callers that gathered them for another purpose —
+    e.g. the detached-diff winner recompute, which routes both through
+    the MXU one-hot gather — pass them in, so the gather and its
+    backward scatter-add are paid once, not twice).
     """
     idx = jnp.maximum(hits.tri_idx, 0)
     if tri is None:
         tri = vertices[idx]  # (R, 3, 3)
-    tn = normals[idx]  # (R, 3, 3)
+    if tn is None:
+        tn = normals[idx]  # (R, 3, 3)
     u, v = hits.u[:, None], hits.v[:, None]
     w = 1.0 - u - v
 

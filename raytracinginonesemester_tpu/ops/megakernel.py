@@ -1636,10 +1636,9 @@ def _build_mats_qsel(mats_rows):
     nop = max(16, -(-no // 16) * 16)  # bf16 sublane tile (16, 128)
     feats = jnp.pad(mats_rows[:, :_MM_OBJ_F].astype(jnp.float32),
                     ((0, nop - no), (0, 0)))
-    hi = feats.astype(jnp.bfloat16)
-    r = feats - hi.astype(jnp.float32)
-    mid = r.astype(jnp.bfloat16)
-    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    from .bf16_split import bf16_split3
+
+    hi, mid, lo = bf16_split3(feats)  # fold-proof split (see _build_qsel)
     q = jnp.zeros((nop, 128), jnp.bfloat16)
     return (q.at[:, 0:_MM_OBJ_F].set(hi)
             .at[:, 32:32 + _MM_OBJ_F].set(mid)
@@ -1706,10 +1705,12 @@ def _build_qsel(grid):
         grid.obj[None].astype(jnp.float32),    # (1, L, B)
     ])
     feats = jnp.where(valid, feats, 0.0).reshape(_QSEL_F, l * b).T
-    hi = feats.astype(jnp.bfloat16)
-    r = feats - hi.astype(jnp.float32)
-    mid = r.astype(jnp.bfloat16)
-    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    # integer-mask split (ops.bf16_split): the convert-based split is
+    # folded to identity by XLA under jit on TPU, which silently
+    # zeroed mid/lo here — found + fixed round 4
+    from .bf16_split import bf16_split3
+
+    hi, mid, lo = bf16_split3(feats)
     q = jnp.zeros((l * b, 128), jnp.bfloat16)
     return (q.at[:, 0:_QSEL_F].set(hi)
             .at[:, 32:32 + _QSEL_F].set(mid)

@@ -63,3 +63,51 @@ def test_gather_rows_forward_exact_backward_close():
     g_xla = np.asarray(jax.grad(
         lambda tb: jnp.sum(tb[idx] * w))(table))
     np.testing.assert_allclose(g_kernel, g_xla, atol=1e-4, rtol=1e-5)
+
+
+def test_mxu_gather_bit_exact():
+    """The bf16 3-part-split MXU gather must reproduce table[idx] BIT
+    EXACTLY (one-hot selection is exact; hi+mid+lo reconstructs f32
+    for |q| in [1e-32, 3.38e38] — same trick as the megakernel qsel)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from raytracinginonesemester_tpu.ops.diff_gather import _mxu_gather
+
+    rs = np.random.RandomState(7)
+    # wide magnitude range incl. tiny/huge/negative/zero, within the
+    # guaranteed window (values right at ~1e-32 can lose the lo part
+    # to bf16 underflow — 2/27k hits at uniform(-30, 30) exponents;
+    # geometry coordinates live many orders inside the window)
+    mag = rs.uniform(-20, 20, (3072, 9)).astype(np.float32)
+    tab = (rs.standard_normal((3072, 9)).astype(np.float32)
+           * (10.0 ** mag).astype(np.float32))
+    tab[0] = 0.0
+    idx = rs.randint(0, 3072, 4096).astype(np.int32)
+    out = np.asarray(_mxu_gather(jnp.asarray(tab), jnp.asarray(idx)))
+    np.testing.assert_array_equal(out, tab[idx])
+
+
+def test_bf16_split3_exact_under_jit():
+    """The integer-mask split must reconstruct f32 bit-exactly UNDER
+    JIT — the convert-based split it replaced was folded to identity
+    by XLA:TPU (mid/lo zeroed; round-4 finding), so this invariant is
+    pinned at the jitted level on every backend."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracinginonesemester_tpu.ops.bf16_split import bf16_split3
+
+    rs = np.random.RandomState(11)
+    x = jnp.asarray((rs.standard_normal((512, 9)) *
+                     10.0 ** rs.uniform(-18, 18, (512, 9))
+                     ).astype(np.float32))
+    h, m, l = jax.jit(bf16_split3)(x)
+    rec = jax.jit(lambda h, m, l: (h.astype(jnp.float32)
+                                   + m.astype(jnp.float32)
+                                   + l.astype(jnp.float32)))(h, m, l)
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(x))
+    # parts really are 3-way: mid/lo carry information for full-width
+    # mantissas
+    assert bool(jnp.any(m != 0)) and bool(jnp.any(l != 0))
