@@ -76,30 +76,53 @@ def _bench_backward(args):
         for k, v in params.items()
     }
 
-    vg = jax.jit(jax.value_and_grad(
+    import optax
+
+    # a REAL on-chip training loop: K adam steps per dispatch (the
+    # production serving shape — steps are sequential on-device, the
+    # host fetches one scalar per dispatch).  Single-step dispatches
+    # pay the dev tunnel's ~26 ms RTT per step, which says nothing
+    # about the backward pass itself (cf. the forward bench's --frames).
+    steps = args.frames if args.frames > 1 else 8
+    opt = optax.adam(1e-3)
+
+    vg = jax.value_and_grad(
         lambda p, s: render_loss(p, scene, target + 0.0 * s,
-                                 jitter_mode="center", spp_override=spp)))
+                                 jitter_mode="center", spp_override=spp))
+
+    @jax.jit
+    def train_k(params, opt_state, s0):
+        def one(carry, i):
+            p, st = carry
+            loss, grads = vg(p, jnp.float32(i))
+            updates, st = opt.update(grads, st, p)
+            return (optax.apply_updates(p, updates), st), loss
+        (p, st), losses = jax.lax.scan(
+            one, (params, opt_state), s0 + jnp.arange(steps))
+        return p, st, jnp.sum(losses)
+
+    opt_state = opt.init(params)
 
     def run(i):
-        loss, grads = vg(params, jnp.float32(i))
+        p, st, chk = train_k(params, opt_state, jnp.int32(i))
         # sync by scalar fetch (block_until_ready lies over the tunnel)
-        return (float(jax.device_get(loss))
-                + float(jax.device_get(jnp.sum(grads["albedo"]))))
+        return float(jax.device_get(chk))
 
     t0 = time.time()
     chk = run(0)
-    print(f"grad warmup (compile + 1 step): {time.time() - t0:.2f}s, "
+    print(f"grad warmup (compile + {steps} steps): {time.time() - t0:.2f}s, "
           f"checksum {chk:.6f}", file=sys.stderr)
     times = []
     for i in range(args.iters):
         t0 = time.time()
         run(i + 1)
         times.append(time.time() - t0)
-    dt = sorted(times)[len(times) // 2]
+    dt = sorted(times)[len(times) // 2] / steps
     rays = w * h * spp
     bw_rays = rays / dt
     print(f"grad step: {dt*1e3:.2f} ms @ {w}x{h} spp={spp} "
           f"bounces={scene.max_bounces} params=albedo+light+vertices "
+          f"adam, {steps} steps/dispatch "
           f"-> {bw_rays:.3e} backward rays/s", file=sys.stderr)
     print(json.dumps({
         "metric": "backward_rays_per_s_per_chip",

@@ -1717,29 +1717,9 @@ def _build_qsel(grid):
             .at[:, 64:64 + _QSEL_F].set(lo))
 
 
-def _quarter_aabb_rows(grid, nq):
-    """(Lq_pad, 8) quarter-AABB rows for the triangle-axis visit gate:
-    row ``b * nq + q`` holds [min_xyz, max_xyz, 0, 0] of block ``b``'s
-    q-th 128-lane Morton run, recomputed from the plane-SoA triangles
-    (v0, v0+e1, v0+e2).  All-padding quarters collapse to the point box
-    [3e38, 3e38] — its slab test fails for every finite ray on
-    whichever axis has the sign to push t to +/-inf."""
-    l, b = grid.tri_index.shape
-    qs = b // nq
-    v0 = grid.tri[0:3]  # (3, L, B)
-    p1 = v0 + grid.tri[3:6]
-    p2 = v0 + grid.tri[6:9]
-    valid = (grid.tri_index >= 0)[None]  # (1, L, B)
-    big = np.float32(3e38)
-    mn = jnp.minimum(jnp.minimum(v0, p1), p2)
-    mx = jnp.maximum(jnp.maximum(v0, p1), p2)
-    mn = jnp.where(valid, mn, big).reshape(3, l, nq, qs).min(axis=3)
-    mx = jnp.where(valid, mx, -big).reshape(3, l, nq, qs).max(axis=3)
-    empty = ~valid.reshape(l, nq, qs).any(axis=2)  # (L, NQ)
-    mn = jnp.where(empty[None], big, mn).reshape(3, l * nq)
-    mx = jnp.where(empty[None], big, mx).reshape(3, l * nq)
-    q6 = jnp.concatenate([mn, mx])  # (6, L*NQ)
-    return jnp.pad(q6.T, ((0, (-l * nq) % 8), (0, 2)))
+# moved to ops.accel (shared with the standalone closest/occluded
+# kernels' quarter gating); aliased to keep in-module call sites
+from .accel import quarter_aabb_rows as _quarter_aabb_rows  # noqa: E402
 
 
 def _scene_rows(scene, grid):

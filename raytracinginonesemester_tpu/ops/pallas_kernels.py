@@ -67,6 +67,34 @@ _INT_MAX = np.int32(2**31 - 1)
 _VMEM_TRI_BUDGET_BYTES = 10 * 1024 * 1024
 
 
+import os as _os
+
+# Triangle-axis (quarter-block) gating for the standalone closest /
+# occluded kernels — same semantics as the megakernel's RT_QUARTER
+# gate (see ops.megakernel), defined here independently to avoid an
+# import cycle (megakernel imports from this module).  Winner updates
+# stay bit-exact: quarters combine through the same lexicographic
+# (t, global id) take rule.  DEFAULT OFF (its own RT_PK_QUARTER knob):
+# unlike the megakernel's camera tiles, these kernels' visit sets
+# measured SLOWER gated on the grad bench (gpu_spheres 960x540
+# bounces-2 train step: 87.5 -> 127.6 ms/step, checksums identical) —
+# 3-4 of 4 quarters fire per visit, so the gate pays 4 pipeline
+# restarts + slab tests for little skipped work.  Recorded negative,
+# kept for scenes with tighter quarter/ray relationships.
+_PK_QUARTER_RAW = _os.environ.get("RT_PK_QUARTER", "0")
+_PK_QUARTER_LANES = (0 if _PK_QUARTER_RAW == "0"
+                     else 128 if _PK_QUARTER_RAW == "1"
+                     else int(_PK_QUARTER_RAW))
+
+
+def pk_quarters_for(block_size: int) -> int:
+    """Static quarter count for a block size (1 = gating disabled)."""
+    if (_PK_QUARTER_LANES and block_size % _PK_QUARTER_LANES == 0
+            and block_size >= 2 * _PK_QUARTER_LANES):
+        return block_size // _PK_QUARTER_LANES
+    return 1
+
+
 def _grid_bytes(l: int, b: int) -> int:
     return 9 * l * b * 4 + 8 * l * 4 + l * b * 4
 
@@ -192,9 +220,9 @@ def _tile_slab(aabb_ref, b, o, inv_d, tmin, tmax):
 
 
 def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
-                    n_shadow, shadow_eps, shadow_tmin,
+                    n_shadow, shadow_eps, shadow_tmin, nq,
                     lane_ref, tri_ref, norm_ref, ids_ref, aabb_ref,
-                    order_ref, entry_ref, *rest):
+                    qaabb_ref, order_ref, entry_ref, *rest):
     # Outputs are (1, RT) lane-major ROWS of (NT, RT) arrays — a
     # sublane-major (RP, 1) output array tiles to (8, 128) with 127 of
     # 128 lanes padding, which at 2M rays made XLA's scoped-VMEM
@@ -248,12 +276,19 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
         next_entry = entry_ref[row, jnp.minimum(k, num_supers - 1)]
         return in_range & (next_entry <= jnp.max(t_lane[:]))
 
-    def visit_block(b):
-        """Dense triangle test of one block, updating the running best."""
+    nrows = num_blocks * nq  # quarter rows per plane (nq == 1: blocks)
+
+    def visit_quarter(bq):
+        """Dense triangle test of one quarter row (the whole block when
+        nq == 1), updating the running best.  Sequential per-quarter
+        updates through the same lexicographic (t, id) take rule compute
+        exactly the block-at-once winner (min is an exact reduction),
+        so quarter gating never shifts a bit — the megakernel's
+        RT_QUARTER argument restated for this kernel."""
         tri = tuple(
-            tri_ref[pl.ds(k_ * num_blocks + b, 1), :] for k_ in range(9)
+            tri_ref[pl.ds(k_ * nrows + bq, 1), :] for k_ in range(9)
         )
-        ids = ids_ref[pl.ds(b, 1), :]  # (1, B)
+        ids = ids_ref[pl.ds(bq, 1), :]  # (1, QS)
         t, u, v = _mt_block(o, d, tri, det_eps, tmin, t_col[:])
         t = jnp.where(ids >= 0, t, F32_MAX)
         min_t = jnp.min(t, axis=1, keepdims=True)
@@ -293,7 +328,7 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
                 # pick-reduction per component.  This replaces 2M-ray
                 # HBM gathers of vertex/normal data.
                 nrm = tuple(
-                    norm_ref[pl.ds(k_ * num_blocks + b, 1), :]
+                    norm_ref[pl.ds(k_ * nrows + bq, 1), :]
                     for k_ in range(12)
                 )
                 n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z, gx, gy, gz = nrm
@@ -321,6 +356,18 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
                 nx_s[:] = jnp.where(take_l, _to_lane(sel_nx), nx_s[:])
                 ny_s[:] = jnp.where(take_l, _to_lane(sel_ny), ny_s[:])
                 nz_s[:] = jnp.where(take_l, _to_lane(sel_nz), nz_s[:])
+
+    def visit_block(b):
+        if nq == 1:
+            visit_quarter(b)
+            return
+        # triangle-axis gate: only 128-lane quarters some ray can reach
+        # run their (RT, QS) dense test (2.3x hull-level pair cut on
+        # frog; scripts/probe_quarter_gate.py)
+        for q in range(nq):
+            boxed_q = _tile_slab(qaabb_ref, b * nq + q, o_l, inv_l,
+                                 tmin_l, t_lane[:])
+            pl.when(jnp.any(boxed_q))(partial(visit_quarter, b * nq + q))
 
     def body(k):
         sb = order_ref[row, k]
@@ -403,6 +450,20 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
             def s_cond(k):
                 return (k < num_blocks) & jnp.any(facing & (blk_lane[:] == 0.0))
 
+            def _s_visit(bq):
+                tri = tuple(
+                    tri_ref[pl.ds(k_ * nrows + bq, 1), :]
+                    for k_ in range(9)
+                )
+                ids = ids_ref[pl.ds(bq, 1), :]
+                ts, _, _ = _mt_block(so_c, sd_c, tri, det_eps,
+                                     s_tmin_c, dist_c)
+                ts = jnp.where(ids >= 0, ts, F32_MAX)
+                s_hit = jnp.min(ts, axis=1, keepdims=True) < F32_MAX
+                blk_lane[:] = jnp.maximum(
+                    blk_lane[:], _to_lane(s_hit.astype(jnp.float32))
+                )
+
             def s_body(k):
                 boxed = (
                     _tile_slab(aabb_ref, k, so_l, si_l, s_tmin_l, dist_l)
@@ -411,18 +472,19 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
 
                 @pl.when(jnp.any(boxed))
                 def _():
-                    tri = tuple(
-                        tri_ref[pl.ds(k_ * num_blocks + k, 1), :]
-                        for k_ in range(9)
-                    )
-                    ids = ids_ref[pl.ds(k, 1), :]
-                    ts, _, _ = _mt_block(so_c, sd_c, tri, det_eps,
-                                         s_tmin_c, dist_c)
-                    ts = jnp.where(ids >= 0, ts, F32_MAX)
-                    s_hit = jnp.min(ts, axis=1, keepdims=True) < F32_MAX
-                    blk_lane[:] = jnp.maximum(
-                        blk_lane[:], _to_lane(s_hit.astype(jnp.float32))
-                    )
+                    if nq == 1:
+                        _s_visit(k)
+                        return
+                    for q in range(nq):
+                        # any-hit max-accumulation is order-independent,
+                        # so quarter gating is exact here too
+                        boxed_q = (
+                            _tile_slab(qaabb_ref, k * nq + q, so_l,
+                                       si_l, s_tmin_l, dist_l)
+                            & facing & (blk_lane[:] == 0.0)
+                        )
+                        pl.when(jnp.any(boxed_q))(
+                            partial(_s_visit, k * nq + q))
 
                 return k + 1
 
@@ -513,26 +575,37 @@ def pallas_block_closest(
     )
     order, entry = _pad_plan_rows(order, entry)
     ls = order.shape[1]
-    tri_rows = grid.tri.reshape(9 * l, b)
-    norm_rows = grid.norm.reshape(12 * l, b)
+    # quarter-major plane rows (nq == 1 reproduces the block layout):
+    # row (k*L + b)*... == k*(L*nq) + b*nq + q, each 128-lane quarter
+    # Morton-contiguous within its block (a pure reshape of the B axis)
+    nq = pk_quarters_for(b)
+    qs = b // nq
+    tri_rows = grid.tri.reshape(9 * l * nq, qs)
+    norm_rows = grid.norm.reshape(12 * l * nq, qs)
+    ids_rows = grid.tri_index.reshape(l * nq, qs)
     aabb_rows = jnp.pad(grid.aabb.T, (((0, (-l) % 8)), (0, 2)))  # (Lp, 8)
+    from .accel import quarter_aabb_rows
+
+    qaabb_rows = (quarter_aabb_rows(grid, nq) if nq > 1
+                  else jnp.zeros((8, 8), jnp.float32))
 
     out_row = lambda: pl.BlockSpec(
         (8, RAY_TILE), lambda i: (i // 8, 0), memory_space=pltpu.VMEM
     )
     in_specs = [
         pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows (9L, B)
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # norm rows (12L, B)
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # ids (L, B)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows (9L*NQ, QS)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # norm rows (12L*NQ, QS)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # ids (L*NQ, QS)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # aabb rows (L, 8)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # quarter aabb rows
         # plan rows in groups of 8 sublanes (Mosaic tiling floor);
         # the kernel picks row program_id % 8.  SMEM because the
         # kernel reads them with dynamic scalar indices.
         pl.BlockSpec((8, ls), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((8, ls), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
     ]
-    inputs = [lane, tri_rows, norm_rows, grid.tri_index, aabb_rows,
+    inputs = [lane, tri_rows, norm_rows, ids_rows, aabb_rows, qaabb_rows,
               order, entry]
     if n_shadow:
         lights_pad = jnp.pad(
@@ -571,7 +644,7 @@ def pallas_block_closest(
     )
     outs = pl.pallas_call(
         partial(_closest_kernel, det_eps, l, ls, b, return_normal, n_shadow,
-                shadow_eps, shadow_tmin),
+                shadow_eps, shadow_tmin, nq),
         out_shape=out_shapes,
         grid_spec=grid_spec,
         interpret=interpret,
@@ -589,8 +662,8 @@ def pallas_block_closest(
     return hits
 
 
-def _occluded_kernel(det_eps, num_blocks, num_supers, block_size,
-                     lane_ref, tri_ref, ids_ref, aabb_ref,
+def _occluded_kernel(det_eps, num_blocks, num_supers, block_size, nq,
+                     lane_ref, tri_ref, ids_ref, aabb_ref, qaabb_ref,
                      order_ref, entry_ref, out_ref, blk_lane):
     o, d, tmin, tmax = _load_rays_cols(lane_ref)
     o_l, d_l, tmin_l, tmax_l = _load_rays_lane(lane_ref)
@@ -598,6 +671,7 @@ def _occluded_kernel(det_eps, num_blocks, num_supers, block_size,
     rt = out_ref.shape[1]
     blk_lane[:] = jnp.zeros((1, rt), jnp.float32)
     row = jax.lax.rem(pl.program_id(0), 8)
+    nrows = num_blocks * nq
     from .accel import SUPER
 
     def cond(k):
@@ -605,6 +679,21 @@ def _occluded_kernel(det_eps, num_blocks, num_supers, block_size,
         next_entry = entry_ref[row, jnp.minimum(k, num_supers - 1)]
         return (in_range & (next_entry < jnp.inf)
                 & jnp.any(blk_lane[:] == 0.0))
+
+    def visit_quarter(bq):
+        # any-hit max-accumulation is order-independent: quarter
+        # gating is exact (same argument as the megakernel's gate)
+        tri = tuple(
+            tri_ref[pl.ds(k_ * nrows + bq, 1), :]
+            for k_ in range(9)
+        )
+        ids = ids_ref[pl.ds(bq, 1), :]
+        t, _, _ = _mt_block(o, d, tri, det_eps, tmin, tmax)
+        t = jnp.where(ids >= 0, t, F32_MAX)
+        hit = jnp.min(t, axis=1, keepdims=True) < F32_MAX
+        blk_lane[:] = jnp.maximum(
+            blk_lane[:], _to_lane(hit.astype(jnp.float32))
+        )
 
     def body(k):
         sb = order_ref[row, k]
@@ -620,17 +709,17 @@ def _occluded_kernel(det_eps, num_blocks, num_supers, block_size,
 
             @pl.when(do_visit)
             def _():
-                tri = tuple(
-                    tri_ref[pl.ds(k_ * num_blocks + b_c, 1), :]
-                    for k_ in range(9)
-                )
-                ids = ids_ref[pl.ds(b_c, 1), :]
-                t, _, _ = _mt_block(o, d, tri, det_eps, tmin, tmax)
-                t = jnp.where(ids >= 0, t, F32_MAX)
-                hit = jnp.min(t, axis=1, keepdims=True) < F32_MAX
-                blk_lane[:] = jnp.maximum(
-                    blk_lane[:], _to_lane(hit.astype(jnp.float32))
-                )
+                if nq == 1:
+                    visit_quarter(b_c)
+                    return
+                for q in range(nq):
+                    boxed_q = (
+                        _tile_slab(qaabb_ref, b_c * nq + q, o_l, inv_l,
+                                   tmin_l, tmax_l)
+                        & (blk_lane[:] == 0.0)
+                    )
+                    pl.when(jnp.any(boxed_q))(
+                        partial(visit_quarter, b_c * nq + q))
 
         return k + 1
 
@@ -661,8 +750,15 @@ def pallas_block_occluded(
     )
     order, entry = _pad_plan_rows(order, entry)
     ls = order.shape[1]
-    tri_rows = grid.tri.reshape(9 * l, b)
+    nq = pk_quarters_for(b)
+    qs = b // nq
+    tri_rows = grid.tri.reshape(9 * l * nq, qs)
+    ids_rows = grid.tri_index.reshape(l * nq, qs)
     aabb_rows = jnp.pad(grid.aabb.T, (((0, (-l) % 8)), (0, 2)))  # (Lp, 8)
+    from .accel import quarter_aabb_rows
+
+    qaabb_rows = (quarter_aabb_rows(grid, nq) if nq > 1
+                  else jnp.zeros((8, 8), jnp.float32))
 
     grid_spec = pl.GridSpec(
         grid=(rp // RAY_TILE,),
@@ -671,6 +767,7 @@ def pallas_block_occluded(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ids
             pl.BlockSpec(memory_space=pltpu.VMEM),  # aabb rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # quarter aabb rows
             pl.BlockSpec((8, ls), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, ls), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
         ],
@@ -681,11 +778,11 @@ def pallas_block_occluded(
         scratch_shapes=[pltpu.VMEM((1, RAY_TILE), jnp.float32)],
     )
     (blocked,) = pl.pallas_call(
-        partial(_occluded_kernel, det_eps, l, ls, b),
+        partial(_occluded_kernel, det_eps, l, ls, b, nq),
         out_shape=[jax.ShapeDtypeStruct((rp // RAY_TILE, RAY_TILE), jnp.int32)],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(lane, tri_rows, grid.tri_index, aabb_rows, order, entry)
+    )(lane, tri_rows, ids_rows, aabb_rows, qaabb_rows, order, entry)
     return blocked.reshape(rp)[:r] > 0
 
 

@@ -304,3 +304,67 @@ def test_streamed_kernels_match_xla_block_path():
                                             tmax=tmax, det_eps=1e-8,
                                             interpret=True)
     np.testing.assert_array_equal(np.asarray(occ_ref), np.asarray(occ_st))
+
+
+def test_quarter_gating_closest_occluded_bit_identical(monkeypatch):
+    """RT_QUARTER gating in the standalone closest/occluded kernels
+    must not shift a bit: quarters combine through the same
+    lexicographic (t, id) take rule (closest) / order-independent
+    max-accumulation (occluded).  conftest pins RT_BLOCK_SIZE=128
+    (nq == 1 there), so this test rebuilds at 512-lane blocks."""
+    import numpy as np
+
+    import raytracinginonesemester_tpu.ops.pallas_kernels as pk
+    from raytracinginonesemester_tpu.io.obj import load_obj
+    from raytracinginonesemester_tpu.ops.accel import build_block_grid
+
+    mesh, _ = load_obj("tests/assets/meshes/frog.obj")
+    tris = mesh.positions[mesh.indices.reshape(-1, 3)].astype(np.float32)
+    pad = (-len(tris)) % 512
+    tris_p = np.concatenate(
+        [tris, np.broadcast_to(tris[0, 0], (pad, 3, 3))]).astype(np.float32)
+    norms = np.broadcast_to(
+        np.array([0, 0, 1], np.float32), tris_p.shape).copy()
+    grid = build_block_grid(
+        jnp.asarray(tris_p), jnp.asarray(len(tris)),
+        normals=jnp.asarray(norms), block_size=512)
+    # gating defaults OFF for these kernels (RT_PK_QUARTER, measured
+    # slower on the grad bench); force it on for the equivalence check
+    monkeypatch.setattr(pk, "_PK_QUARTER_LANES", 128)
+    pk.pallas_block_closest.clear_cache()
+    pk.pallas_block_occluded.clear_cache()
+    assert pk.pk_quarters_for(grid.tri_index.shape[1]) > 1
+
+    rs = np.random.RandomState(3)
+    R = 2048
+    o = jnp.asarray(np.tile(np.array([0.0, -0.5, 0.2], np.float32),
+                            (R, 1)))
+    # half the rays at triangles, half scattered (misses exercised)
+    at = tris[rs.randint(0, len(tris), R // 2)].mean(1) - np.asarray(o)[:R // 2]
+    away = rs.standard_normal((R - R // 2, 3)).astype(np.float32)
+    d0 = np.concatenate([at, away])
+    d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+    d = jnp.asarray(d0.astype(np.float32))
+    lights = jnp.asarray(np.array([[-3.0, 0.0, 1.0]], np.float32))
+
+    def render_all():
+        h, n, vis = pk.pallas_block_closest(
+            o, d, grid, tmin=1e-4, det_eps=1e-8, interpret=True,
+            shadow_lights=lights)
+        occ = pk.pallas_block_occluded(
+            o, d, grid, tmin=1e-4, tmax=10.0, det_eps=1e-8,
+            interpret=True)
+        return h, n, vis, occ
+
+    h1, n1, v1, occ1 = render_all()
+    monkeypatch.setattr(pk, "_PK_QUARTER_LANES", 0)
+    pk.pallas_block_closest.clear_cache()
+    pk.pallas_block_occluded.clear_cache()
+    h0, n0, v0, occ0 = render_all()
+    pk.pallas_block_closest.clear_cache()
+    pk.pallas_block_occluded.clear_cache()
+    for a, b in ((h1.t, h0.t), (h1.u, h0.u), (h1.v, h0.v),
+                 (h1.tri_idx, h0.tri_idx), (n1, n0), (v1, v0),
+                 (occ1, occ0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert 0 < int(jnp.sum(h1.hit)) < R  # both hits and misses seen
