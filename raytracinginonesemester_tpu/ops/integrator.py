@@ -48,6 +48,13 @@ _DIFF_SG = set(filter(None, _os.environ.get("RT_DIFF_SG", "").split(",")))
 # would be captured by the first trace and masked by the jit cache
 # (flipping the knob between renders would silently do nothing).
 _DIFF_UNROLL_ENV = _os.environ.get("RT_DIFF_UNROLL", "")
+# Fused in-kernel shadow visibility for detached-diff scenes (see
+# make_bounce_step).  Default OFF — re-measured after the round-4
+# backward cleanup and it still loses (87.4 -> 129.7 ms/step on the
+# grad bench: the fused kernel's in-kernel normal+shadow work costs
+# more than the two occlusion launches it replaces, same verdict as
+# round 3's 310 -> 348).  Read once at import like every knob here.
+_DIFF_FUSED_SHADOW = _os.environ.get("RT_DIFF_FUSED_SHADOW", "0") == "1"
 # Remat the unrolled diff bounce chain (save only kernel outputs);
 # see trace_rays.  Default OFF: at the whole-frame tiling render_loss
 # now defaults to, storing residuals beats recomputing the chains
@@ -135,14 +142,19 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
         streamed = grid_chunks > 1 and _STREAM_ENV
 
     # detached-diff mode needs differentiable normals (make_hit_frame
-    # gathers), so the in-kernel normal/shadow fusion is disabled there.
-    # (Keeping the fused kernel for its detached shadow visibility was
-    # measured SLOWER on the grad bench — 310 -> 348 ms at 960x540 —
-    # because the kernel's normal+shadow work costs more than the two
-    # occlusion launches it replaces; the separate walks stay.)
+    # gathers), so the in-kernel normal fusion is discarded there; the
+    # fused SHADOW visibility is optional (RT_DIFF_FUSED_SHADOW) and
+    # measured SLOWER both times it was tried (round 3: 310 -> 348 ms;
+    # round 4, after the gather cleanup: 87.4 -> 129.7 ms/step) — the
+    # kernel's in-kernel normal+shadow work costs more than the two
+    # occlusion launches it replaces.  The estimator is identical
+    # either way: visibility is a sg'd 0/1 step from bit-equal primal
+    # hit points.
     differentiable = bool(getattr(scene, "differentiable", False))
+    fused_shadow_diff = (differentiable and _DIFF_FUSED_SHADOW)
     kernel_normals = (scene.accel is not None and use_pallas and gpu
-                      and not differentiable and not streamed)
+                      and (not differentiable or fused_shadow_diff)
+                      and not streamed)
     # gpu lights are always point lights; under model sharding each shard
     # only sees its own blocks, so fused visibility would be partial —
     # fall back to the psum'd occlusion kernel there.  Chunked grids
