@@ -172,7 +172,7 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
         interp = jax.default_backend() != "tpu"  # interpret off-TPU
 
         if grid_chunks == 1:
-            def closest_local(o, d):
+            def closest_local(o, d, shared=False):
                 return pallas_block_closest(
                     o, d, scene.accel, tmin=tmin, det_eps=det_eps,
                     interpret=interp, return_normal=kernel_normals,
@@ -180,6 +180,7 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
                         scene.lights.position if kernel_shadows else None),
                     shadow_eps=shading.RT_EPS_GPU,
                     shadow_tmin=1e-4,
+                    shared_origin=shared,
                 )
 
             def occlude_local(o, d, s_tmin, s_tmax):
@@ -193,7 +194,7 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
                 pallas_block_occluded_streamed,
             )
 
-            def closest_local(o, d):
+            def closest_local(o, d, shared=False):
                 return pallas_block_closest_streamed(
                     o, d, scene.accel, tmin=tmin, det_eps=det_eps,
                     interpret=interp,
@@ -205,7 +206,7 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
                     det_eps=det_eps, interpret=interp,
                 )
         else:
-            def closest_local(o, d):
+            def closest_local(o, d, shared=False):
                 return pallas_block_closest_chunked(
                     o, d, scene.accel, tmin=tmin, det_eps=det_eps,
                     interpret=interp, return_normal=kernel_normals,
@@ -221,7 +222,7 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
     elif scene.accel is not None:
         from .accel import block_closest, block_occluded
 
-        def closest_local(o, d):
+        def closest_local(o, d, shared=False):
             return block_closest(o, d, scene.accel, tmin=tmin, det_eps=det_eps)
 
         def occlude_local(o, d, s_tmin, s_tmax):
@@ -230,7 +231,7 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
             )
     else:
 
-        def closest_local(o, d):
+        def closest_local(o, d, shared=False):
             return intersect_closest(o, d, geom.vertices, tmin=tmin, det_eps=det_eps)
 
         def occlude_local(o, d, s_tmin, s_tmax):
@@ -245,23 +246,24 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
         if kernel_shadows:
             closest_fn = closest_local  # already a 3-tuple
         elif kernel_normals:
-            def closest_fn(o, d):
-                h, n = closest_local(o, d)
+            def closest_fn(o, d, shared=False):
+                h, n = closest_local(o, d, shared=shared)
                 return h, n, None
         else:
-            def closest_fn(o, d):
-                return closest_local(o, d), None, None
+            def closest_fn(o, d, shared=False):
+                return closest_local(o, d, shared=shared), None, None
         occlude_fn = occlude_local
     else:
         # triangle testing sharded over `model_axis`: local candidates are
         # merged by collectives (the ICI analog of cross-thread reduction)
-        def closest_fn(o, d):
+        def closest_fn(o, d, shared=False):
             if kernel_normals:
-                local, nrm = closest_local(o, d)
+                local, nrm = closest_local(o, d, shared=shared)
                 h, n = merge_hits_over_axis(local, model_axis, extra=nrm)
                 return h, n, None
             return (
-                merge_hits_over_axis(closest_local(o, d), model_axis),
+                merge_hits_over_axis(closest_local(o, d, shared=shared),
+                                     model_axis),
                 None,
                 None,
             )
@@ -289,8 +291,8 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
         # the backward pass; the Pallas kernels must NOT re-run there)
         _ckpt = lambda x: checkpoint_name(x, "diff_kernel")
         inner_closest = closest_fn
-        def closest_fn(o, d):
-            hits, kn, kv = inner_closest(sg(o), sg(d))
+        def closest_fn(o, d, shared=False):
+            hits, kn, kv = inner_closest(sg(o), sg(d), shared=shared)
             hits = jax.tree.map(lambda x: _ckpt(sg(x)), hits)
             idx = jnp.maximum(hits.tri_idx, 0)
             # differentiable gather (R, 3, 3); stashed in tri_cell so
@@ -340,7 +342,10 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
             return _ckpt(inner_occlude(sg(o), sg(d), sg(s_tmin),
                                        sg(s_tmax)))
 
-    def bounce(carry, _):
+    def bounce(carry, _, first=False):
+        # ``first``: statically marks the depth-0 camera pass whose
+        # rays all share one origin (trace_rays' shared_origin0) — the
+        # pallas closest kernel then hoists pair-invariant MT terms
         o, d, throughput, radiance, state, alive = carry
         r = o.shape[0]
 
@@ -348,7 +353,7 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
         # so finished lanes cost the traversal kernels nothing
         o = jnp.where(alive[:, None], o, 1e30)
 
-        hits, kernel_n, kernel_vis = closest_fn(o, d)
+        hits, kernel_n, kernel_vis = closest_fn(o, d, shared=first)
         found = hits.hit & alive
 
         # --- miss shading ---
@@ -473,6 +478,15 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
         alive = bounced & ~tiny
 
         return (o, d, throughput, radiance, state, alive), None
+
+    # whether the depth-0 shared-origin flag reaches a kernel that can
+    # use it (the resident Pallas closest).  trace_rays gates its loop
+    # peeling on this so paths that CANNOT benefit keep their exact
+    # loop structure (the scan-vs-while bit-identity contract of
+    # test_detached_traversal_gradients_match_brute).
+    bounce.shared_origin_capable = (
+        scene.accel is not None and use_pallas and grid_chunks == 1
+    )
     return bounce
 
 
@@ -482,6 +496,7 @@ def trace_rays(
     rng_state: Array,
     scene: Scene,
     model_axis: str | None = None,
+    shared_origin0: bool = False,
 ) -> Array:
     """Trace a wavefront of rays to completion; returns radiance (R, 3).
 
@@ -502,8 +517,15 @@ def trace_rays(
     (throughput rows cite ``query.h:195-206`` vs ``raytracer.h:240-256``;
     the GPU path clamps the summed radiance once at loop exit,
     ``query.h:219``.)
+
+    ``shared_origin0``: caller guarantees every ray's origin equals
+    ``origins[0]`` (the pinhole camera pass) — depth 0 then runs the
+    shared-origin dense test (~30% fewer per-pair MT ops in the
+    resident Pallas kernel).  Identical per-lane math either way.
     """
     bounce = make_bounce_step(scene, model_axis)
+    shared_origin0 = (shared_origin0
+                      and getattr(bounce, "shared_origin_capable", False))
     max_depth = scene.max_bounces
     gpu = scene.dialect == "gpu"
     differentiable = bool(getattr(scene, "differentiable", False))
@@ -532,7 +554,7 @@ def trace_rays(
         else:
             unroll = int(max_depth) <= 8
         if unroll:
-            body = lambda c: bounce(c, None)[0]
+            body = lambda c, first=False: bounce(c, None, first=first)[0]
             if _DIFF_REMAT and differentiable:
                 # rematerialize the bounce chain in the backward pass,
                 # SAVING only the traversal/occlusion kernel outputs
@@ -546,10 +568,11 @@ def trace_rays(
                     body,
                     policy=jax.checkpoint_policies.save_only_these_names(
                         "diff_kernel"),
+                    static_argnums=(1,),
                 )
             carry = init
-            for _ in range(int(max_depth)):
-                carry = body(carry)
+            for i in range(int(max_depth)):
+                carry = body(carry, i == 0 and shared_origin0)
             radiance = carry[3]
         else:
             (_, _, _, radiance, _, _), _ = jax.lax.scan(
@@ -569,8 +592,15 @@ def trace_rays(
             new_state, _ = bounce(state, None)
             return depth + 1, new_state
 
+        start = (jnp.int32(0), init)
+        if shared_origin0 and int(max_depth) >= 1:
+            # peel the camera bounce so its static shared-origin flag
+            # reaches the kernel (the while body's depth is traced);
+            # the peeled iteration is exactly w_body's depth-0 step and
+            # w_cond is True at entry (all camera rays start alive)
+            start = (jnp.int32(1), bounce(init, None, first=True)[0])
         _, (_, _, _, radiance, _, _) = jax.lax.while_loop(
-            w_cond, w_body, (jnp.int32(0), init)
+            w_cond, w_body, start
         )
 
     if gpu:

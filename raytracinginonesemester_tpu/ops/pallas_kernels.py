@@ -220,7 +220,7 @@ def _tile_slab(aabb_ref, b, o, inv_d, tmin, tmax):
 
 
 def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
-                    n_shadow, shadow_eps, shadow_tmin, nq,
+                    n_shadow, shadow_eps, shadow_tmin, nq, shared_o,
                     lane_ref, tri_ref, norm_ref, ids_ref, aabb_ref,
                     qaabb_ref, order_ref, entry_ref, *rest):
     # Outputs are (1, RT) lane-major ROWS of (NT, RT) arrays — a
@@ -229,6 +229,9 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
     # staging of the results alone exceed the 16 MB budget.  Running
     # state lives in column/lane scratches instead and is written out
     # once at the end.
+    if shared_o:
+        origin_ref = rest[0]  # (1, 8) SMEM [ox, oy, oz, ...]
+        rest = rest[1:]
     if n_shadow:
         lights_ref = rest[0]
         rest = rest[1:]
@@ -251,6 +254,15 @@ def _closest_kernel(det_eps, num_blocks, num_supers, block_size, with_normals,
         t_out, u_out, v_out, idx_out = outs
     o, d, tmin, _ = _load_rays_cols(lane_ref)
     o_l, d_l, tmin_l, _ = _load_rays_lane(lane_ref)
+    if shared_o:
+        # camera pass: every ray shares one origin, so the dense test's
+        # pair-invariant subexpressions (tvec, qvec, t numerator)
+        # collapse to (1, B) triangle rows via broadcasting — ~30% of
+        # the per-pair Moller-Trumbore ops.  Same per-lane values and
+        # op order, just narrower broadcast shapes.  Padded filler
+        # rays' own 1e30 origins are ignored (their outputs are sliced
+        # off; per-lane winner state never crosses lanes).
+        o = (origin_ref[0, 0], origin_ref[0, 1], origin_ref[0, 2])
     inv_l = tuple(1.0 / c for c in d_l)
     rt = t_col.shape[0]
 
@@ -536,7 +548,8 @@ def _lane_major_rays(rays, ray_tile):
 
 
 @partial(jax.jit, static_argnames=(
-    "det_eps", "interpret", "return_normal", "shadow_eps", "shadow_tmin"))
+    "det_eps", "interpret", "return_normal", "shadow_eps", "shadow_tmin",
+    "shared_origin"))
 def pallas_block_closest(
     origins: Array,
     dirs: Array,
@@ -549,6 +562,7 @@ def pallas_block_closest(
     shadow_lights: Array = None,
     shadow_eps: float = 1e-3,
     shadow_tmin: float = 1e-4,
+    shared_origin: bool = False,
 ):
     """Closest hit via the fused, front-to-back Pallas traversal kernel.
 
@@ -562,6 +576,10 @@ def pallas_block_closest(
       traces one shadow ray per light from each hit point inside the
       same kernel (``IsInShadow``, shader.h:44-62) and returns
       per-light visibility (R, NL) — implies ``return_normal``.
+    - ``shared_origin``: caller guarantees every ray has origins[0]
+      (the pinhole camera pass); the dense test then hoists the
+      pair-invariant Moller-Trumbore subexpressions to (1, B) rows
+      (~30% fewer per-pair ops).  Same per-lane values/op order.
     """
     r = origins.shape[0]
     l, b = grid.tri_index.shape
@@ -607,6 +625,11 @@ def pallas_block_closest(
     ]
     inputs = [lane, tri_rows, norm_rows, ids_rows, aabb_rows, qaabb_rows,
               order, entry]
+    if shared_origin:
+        origin_row = jnp.pad(origins[0:1].astype(jnp.float32),
+                             ((0, 0), (0, 5)))  # (1, 8)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(origin_row)
     if n_shadow:
         lights_pad = jnp.pad(
             jnp.asarray(shadow_lights, jnp.float32), ((0, 0), (0, 5))
@@ -644,7 +667,7 @@ def pallas_block_closest(
     )
     outs = pl.pallas_call(
         partial(_closest_kernel, det_eps, l, ls, b, return_normal, n_shadow,
-                shadow_eps, shadow_tmin, nq),
+                shadow_eps, shadow_tmin, nq, shared_origin),
         out_shape=out_shapes,
         grid_spec=grid_spec,
         interpret=interpret,

@@ -163,7 +163,10 @@ def accumulate_samples(
 
         def tile_fn(args):
             o, d, st = args
-            return trace_rays(o, d, st, scene)
+            # pinhole camera: every depth-0 ray shares cam.center, so
+            # the resident Pallas closest runs its shared-origin dense
+            # test (integrator.trace_rays shared_origin0)
+            return trace_rays(o, d, st, scene, shared_origin0=True)
 
         return _tile_map(tile_fn, (origins, dirs, seeds), num_rays, ray_tile)
 
