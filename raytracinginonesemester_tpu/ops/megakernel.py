@@ -164,7 +164,13 @@ _EMIT_CHUNK = int(_os.environ.get("RT_EMIT_CHUNK", "0"))
 # and min is an exact reduction, so the winner — and the image — is
 # bit-identical to the ungated visit.  RT_QUARTER sets the sub-block
 # lane width (0 disables; "1" = the 128-lane default).
-_QUARTER_RAW = _os.environ.get("RT_QUARTER", "1")
+# DEFAULT OFF since round 4: the round-3 win did not reproduce on the
+# driver bench — the 16-frame steady state measures 55.3 ms ungated vs
+# 61.0 at 128-lane quarters vs 56.4 at 256 (the 2.3x hull-level pair
+# cut does not pay for the per-quarter slab tests + pipeline restarts
+# on mostly-active firing visits; same lesson as RT_PK_QUARTER and the
+# emit chunk gate).  "1" restores the 128-lane gate.
+_QUARTER_RAW = _os.environ.get("RT_QUARTER", "0")
 _QUARTER_LANES = (0 if _QUARTER_RAW == "0"
                   else 128 if _QUARTER_RAW == "1" else int(_QUARTER_RAW))
 

@@ -312,6 +312,10 @@ def test_quarter_gating_bit_identical(monkeypatch):
         normals=geom.normals, obj_ids=geom.obj_id, block_size=512)
     scene = dataclasses.replace(scene, terminal_only=False, accel=grid)
     xs, ys, _ = _swizzled_grid(64, 32)
+    # gating defaults OFF since round 4 (RT_QUARTER, measured slower on
+    # the driver bench); force it on for the equivalence check
+    monkeypatch.setattr(mk, "_QUARTER_LANES", 128)
+    mk.render_tiles.clear_cache()
     assert mk.quarters_for(scene.accel.tri_index.shape[1]) > 1
     a = np.asarray(mk.render_tiles(scene, xs, ys, 1, interpret=True))
     monkeypatch.setattr(mk, "_QUARTER_LANES", 0)
