@@ -136,8 +136,9 @@ def _bench_large(args):
     """>VMEM-scene benchmark (VERDICT r3 #4): subdivide the frog mesh
     until >= ``--large`` triangles (midpoint 1->4 splits; identical
     surface), rebuild the block grid, and measure (a) the HBM-streamed
-    closest-hit pass and (b) a full frame through the staged
-    integrator, at the same 1080p frog.json camera.  Prints ONE JSON
+    closest-hit pass and (b) a full frame through the integrator with
+    the streamed traversal kernels, at the same 1080p frog.json
+    camera.  Prints ONE JSON
     line with the closest-pass rays/s as the headline value."""
     import dataclasses
 
@@ -169,7 +170,8 @@ def _bench_large(args):
     grid = build_block_grid(
         geom.vertices, jnp.asarray(geom.num_triangles),
         normals=geom.normals, obj_ids=geom.obj_id, block_size=512)
-    jax.block_until_ready(grid.tri)
+    # sync by scalar fetch: block_until_ready lies over the tunnel
+    float(jax.device_get(jnp.sum(grid.aabb)))
     scene = dataclasses.replace(scene, geometry=geom, accel=grid)
     chunks = num_chunks_for(grid)
     print(f"large scene: {geom.num_triangles} tris "
@@ -202,14 +204,24 @@ def _bench_large(args):
     rays_c = w * h / dt_c
     # effective HBM read volume: the 9 f32 triangle planes + the int32
     # id plane stream through the DMA window once per ray tile
-    nt = -(-w * h // 512)
+    from raytracinginonesemester_tpu.ops.pallas_kernels import RAY_TILE
+
+    nt = -(-w * h // RAY_TILE)
     plane_bytes = grid.tri.size * 4 + grid.tri_index.size * 4
     bw = plane_bytes * nt / dt_c / 1e9
     print(f"streamed closest: {dt_c*1e3:.1f} ms @ {w}x{h} "
           f"-> {rays_c:.3e} rays/s, ~{bw:.0f} GB/s effective HBM read",
           file=sys.stderr)
 
-    # (b) full frame through the staged integrator (streamed kernels)
+    # (b) full frame through the integrator with the HBM-streamed
+    # traversal kernels (>VMEM scenes are not megakernel-eligible, so
+    # the staged-wavefront fast path cannot engage here; resolve the
+    # wavefront/capacity eagerly anyway so smaller --large values that
+    # DO fit VMEM take their production path instead of silently
+    # falling back under the jit trace)
+    from raytracinginonesemester_tpu.render.renderer import resolve_wavefront
+
+    resolve_wavefront(scene, "wang", 1)
     render = jax.jit(lambda s, off: jnp.sum(render_scene(
         s, jitter_mode="wang", sample_offset=off)))
     t0 = time.time()
@@ -222,7 +234,8 @@ def _bench_large(args):
         float(jax.device_get(render(scene, i + 1)))
         times.append(time.time() - t0)
     dt_r = sorted(times)[len(times) // 2]
-    print(f"full frame (staged, depth={scene.max_bounces}): "
+    print(f"full frame (production path for this size, "
+          f"depth={scene.max_bounces}): "
           f"{dt_r*1e3:.1f} ms -> {w*h/dt_r:.3e} rays/s", file=sys.stderr)
 
     print(json.dumps({

@@ -174,11 +174,14 @@ def render_loss(
 
 
 def make_train_step(optimizer, jitter_mode: str = "center",
-                    spp_override: Optional[int] = None):
+                    spp_override: Optional[int] = None,
+                    ray_tile: Optional[int] = None):
     """Build a jitted (params, opt_state, scene, target) -> update step.
 
     ``optimizer`` is any optax GradientTransformation.  Gradients flow
-    through the full wavefront integrator.
+    through the full wavefront integrator.  ``ray_tile`` passes through
+    to ``render_loss`` — None = whole-frame (fastest measured); pass a
+    tile size (e.g. 16384) for memory headroom on huge frames.
     """
 
     @partial(jax.jit, static_argnames=())
@@ -186,7 +189,7 @@ def make_train_step(optimizer, jitter_mode: str = "center",
         loss, grads = jax.value_and_grad(
             lambda p: render_loss(
                 p, scene, target, jitter_mode=jitter_mode,
-                spp_override=spp_override,
+                spp_override=spp_override, ray_tile=ray_tile,
             )
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -207,6 +210,7 @@ def optimize(
     jitter_mode: str = "center",
     spp_override: Optional[int] = 1,
     init_params: Optional[Dict[str, Array]] = None,
+    ray_tile: Optional[int] = None,
 ):
     """Gradient-descent inverse rendering; returns (params, losses)."""
     import optax
@@ -214,7 +218,7 @@ def optimize(
     params = init_params if init_params is not None else extract_params(scene, keys)
     opt = optax.adam(learning_rate)
     opt_state = opt.init(params)
-    step = make_train_step(opt, jitter_mode, spp_override)
+    step = make_train_step(opt, jitter_mode, spp_override, ray_tile)
     losses = []
     for _ in range(steps):
         params, opt_state, loss = step(params, opt_state, scene, target)

@@ -244,6 +244,11 @@ def _warn_if_fallback(scene, jitter_mode, spp_override) -> None:
     spp_eff = spp_override if spp_override is not None else scene.spp
     jm = resolve_jitter_mode(scene, jitter_mode, spp_eff)
     reason = megakernel_ineligible_reason(scene, jm)
+    if reason is not None and reason.startswith("differentiable"):
+        # differentiable scenes have no faster option (the fused
+        # kernels are not differentiable) — warning would be noise on
+        # the documented diff API
+        return
     if reason is not None:
         warn_once(
             f"mk-fallback:{reason}",
