@@ -250,6 +250,85 @@ def _bench_large(args):
     }))
 
 
+def _bench_sharded(args):
+    """Sharded-path benchmark on the real chip (VERDICT r4 #4): the
+    headline frog workload through ``render_scene_sharded`` on a
+    1-device "data" mesh — the only measurable proxy for the >=90%-
+    scaling north star in this 1-chip environment.  Reports (a) the
+    sharded fast path (expected within noise of the unsharded
+    single-dispatch frame: it shares the fused kernels via
+    ``megakernel_kwargs``), (b) the unsharded single-dispatch frame for
+    the apples-to-apples overhead, and (c) the model-sharded STAGED
+    path (``_render_sharded_staged`` with compacted scheduling) at mesh
+    size 1 — the dp x tp code path's fixed overhead, not its scaling."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import _frog_scene
+    from raytracinginonesemester_tpu.parallel.sharded import (
+        _render_sharded_staged, make_mesh, render_scene_sharded)
+    from raytracinginonesemester_tpu.render.renderer import (
+        render_scene, resolve_wavefront)
+
+    w = args.width or 1920
+    h = args.height or 1080
+    spp = args.spp or 1
+    scene = _frog_scene(width=w, height=h, spp=spp,
+                        max_bounces=args.bounces or 8,
+                        diffuse_bounce=not args.no_diffuse)
+    scene = dataclasses.replace(scene, use_pallas=not args.no_pallas)
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    resolve_wavefront(scene, "wang", spp)  # warm the capacity cache
+
+    mesh = make_mesh(shape=(1,), axis_names=("data",))
+    mesh_mt = make_mesh(shape=(1, 1), axis_names=("data", "model"))
+
+    def timed(label, fn):
+        t0 = time.time()
+        chk = float(jax.device_get(fn(0)))
+        print(f"{label} warmup: {time.time() - t0:.1f}s chk {chk:.4g}",
+              file=sys.stderr)
+        times = []
+        for i in range(args.iters):
+            t0 = time.time()
+            float(jax.device_get(fn(i + 1)))
+            times.append(time.time() - t0)
+        dt = sorted(times)[len(times) // 2]
+        print(f"{label}: {dt*1e3:.1f} ms/frame", file=sys.stderr)
+        return dt
+
+    dt_sh = timed("sharded fast (data=1 mesh)", lambda i: jnp.sum(
+        render_scene_sharded(scene, mesh, jitter_mode="wang",
+                             sample_offset=i)))
+    dt_un = timed("unsharded single dispatch", lambda i: jnp.sum(
+        render_scene(scene, jitter_mode="wang", sample_offset=i)))
+    # the dp x tp staged path at mesh size 1 (all_to_all/all_gather are
+    # identities on one device; this measures the path's overhead)
+    dt_st = timed("staged dpxtp path (1x1 mesh)", lambda i: jnp.sum(
+        _render_sharded_staged(scene, mesh_mt, "wang", 0, spp, "model",
+                               compacted=True, sample_offset=i)))
+
+    rays = w * h * spp
+    print(f"sharded overhead vs unsharded: "
+          f"{(dt_sh - dt_un)*1e3:+.1f} ms "
+          f"({dt_sh/dt_un:.3f}x); staged dpxtp {dt_st*1e3:.1f} ms "
+          f"({dt_st/dt_un:.2f}x unsharded)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "sharded_rays_per_s_per_chip",
+        "value": rays / dt_sh,
+        "unit": "rays/s",
+        "vs_baseline": rays / dt_sh / 5e8,
+        "sharded_ms": round(dt_sh * 1e3, 1),
+        "unsharded_ms": round(dt_un * 1e3, 1),
+        "staged_dpxtp_ms": round(dt_st * 1e3, 1),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=None)
@@ -294,6 +373,12 @@ def main():
                     "vertices on the differentiable sphere scene "
                     "(BASELINE config 4); prints backward_rays_per_s as "
                     "the JSON line")
+    ap.add_argument("--sharded", action="store_true",
+                    help="benchmark the SHARDED render paths on a "
+                    "1-device mesh instead: render_scene_sharded fast "
+                    "path vs the unsharded dispatch, plus the model-"
+                    "sharded staged path's overhead (the measurable "
+                    "1-chip proxy for multi-chip scaling)")
     ap.add_argument("--large", type=int, default=0,
                     help="benchmark a >VMEM synthetic scene instead: "
                     "subdivide the frog mesh to >= this many triangles "
@@ -310,6 +395,9 @@ def main():
         args.width, args.height, args.iters = 320, 180, 2
     if args.large:
         _bench_large(args)
+        return
+    if args.sharded:
+        _bench_sharded(args)
         return
     if args.grad:
         import jax

@@ -133,6 +133,18 @@ class Camera:
             + j[..., None] * self.pixel_delta_v
         )
 
+    @property
+    def is_pinhole(self) -> bool:
+        """Every ray returned by ``get_rays`` originates at ``center``.
+
+        True for this camera model (matching the reference's pinhole
+        ``Camera::get_ray``, ``GPUandCPU/include/camera.h:49-53``); the
+        shared-origin fast paths (``trace_rays(..., shared_origin0)``,
+        ``pallas_block_closest(shared_origin=...)``) gate on this so a
+        future lens/aperture camera cannot silently render every ray
+        from ``origins[0]``."""
+        return True
+
     def get_rays(self, i: Array, j: Array) -> Tuple[Array, Array]:
         """Ray (origins, unit directions) through fractional pixel coords.
 

@@ -155,8 +155,12 @@ def render_loss(
 ) -> Array:
     """Mean-squared pixel loss between the parameterized render and target.
 
-    ``ray_tile``: rays per integrator tile.  Default (None) = 0, the
-    WHOLE frame as one tile: the renderer's 16,384-ray tiling exists
+    ``ray_tile``: rays per integrator tile.  API CHANGE (round 4): the
+    default (None) is now 0, the WHOLE frame as one tile — previously
+    16,384-ray tiling.  Faster at production frame sizes, but callers
+    differentiating very large frames who relied on the old default's
+    memory headroom should pass ``ray_tile=16384`` back explicitly.
+    Rationale: the renderer's 16,384-ray tiling exists
     for memory headroom on huge frames, but under value_and_grad it
     turns the render into a sequential 32-iteration while loop whose
     carry stacks every residual — per-tile kernel launches and carry

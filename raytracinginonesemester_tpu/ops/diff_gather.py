@@ -132,7 +132,12 @@ _MXU_GATHER_MAX_ROWS = int(_os.environ.get("RT_MXU_GATHER_MAX", "8192"))
 
 def _mxu_gather(table2d: Array, idx: Array) -> Array:
     """Exact ``table2d[idx]`` ((T, F) f32, (R,) i32 -> (R, F) f32)
-    through one bf16 MXU matmul of the 3-part-split table."""
+    through one bf16 MXU matmul of the 3-part-split table.
+
+    RANGE CONTRACT: exact for |value| in {0} U [~1e-32, 3.38e38] — below
+    that the lo bf16 part underflows subnormals and low-order bits are
+    lost (ops.bf16_split docstring).  Vertex/normal/material tables
+    satisfy this for any sanely-scaled scene."""
     from .bf16_split import bf16_split3
 
     t, f = table2d.shape
@@ -144,6 +149,11 @@ def _mxu_gather(table2d: Array, idx: Array) -> Array:
 
 
 def _gather_impl(rows, interpret, table, idx):
+    # clamp BOTH paths to the same semantics: XLA's table[idx] clamps
+    # out-of-range indices, while one_hot yields an all-zero row (a 0
+    # result) — without this, the TPU small-table and CPU/large-table
+    # paths diverge for any idx >= rows (round-4 advisor finding)
+    idx = jnp.clip(idx, 0, rows - 1)
     if interpret or rows > _MXU_GATHER_MAX_ROWS:
         return table[idx]
     trail = table.shape[1:]
@@ -189,6 +199,7 @@ def gather_int_rows(table: Array, idx: Array, interpret: bool) -> Array:
     |values| <= 2^24 (integers are exact in f32; the 3-part split is
     exact; the round-trip cast is exact)."""
     rows = table.shape[0]
+    idx = jnp.clip(idx, 0, rows - 1)  # match XLA gather's clamp (see above)
     if interpret or rows > _MXU_GATHER_MAX_ROWS:
         return table[idx]
     out = _mxu_gather(table.astype(jnp.float32).reshape(rows, 1), idx)

@@ -1702,7 +1702,14 @@ def _build_qsel(grid):
     values split into three bf16 parts — hi at cols [0, 22), mid at
     [32, 54), lo at [64, 86).  The f32 sum hi+mid+lo reconstructs each
     attribute bit-exactly for |q| in [1e-32, 3.38e38] (padding
-    triangles are zeroed; scripts/probe_mm_select.py)."""
+    triangles are zeroed; scripts/probe_mm_select.py).
+
+    RANGE CONTRACT: below ~1e-32 the lo part underflows bf16 subnormals
+    and the reconstruction loses low-order bits (ops.bf16_split module
+    docstring).  Geometry/normal/material magnitudes are either 0 (exact
+    in all parts) or well above the bound for any sanely-scaled scene;
+    a degenerate scene with ~1e-33-sized coordinates would silently
+    round those attributes — scale the scene, don't shrink it."""
     l, b = grid.tri_index.shape
     valid = (grid.tri_index >= 0)[None]  # (1, L, B)
     feats = jnp.concatenate([
@@ -2219,7 +2226,7 @@ def emit_tiles(
     if chunk is None:
         chunk = _EMIT_CHUNK
     if chunk and (RAY_TILE % chunk or chunk % 8 or dialect == "cpuonly"
-                  or emit_flat(grid.num_blocks) is False):
+                  or not emit_flat(grid.num_blocks)):
         chunk = 0
 
     if plan is None:

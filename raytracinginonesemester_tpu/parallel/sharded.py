@@ -87,7 +87,8 @@ def shard_scene_blocks(scene: Scene, num_shards: int) -> Scene:
                                    "wavefront_cap"))
 def _render_sharded_fast(scene: Scene, mesh: Mesh, spp: int,
                          wavefront: bool, jitter_mode: str,
-                         wavefront_cap: Optional[int] = None) -> Array:
+                         wavefront_cap: Optional[int] = None,
+                         sample_offset: Array | int = 0) -> Array:
     """DP-shard the swizzled tile stream and run the single-chip fast
     path (megakernel, or sort-compacted wavefront when enabled) on each
     shard.  Bit-identical to any other sharding by per-pixel seeding."""
@@ -113,10 +114,12 @@ def _render_sharded_fast(scene: Scene, mesh: Mesh, spp: int,
 
         def fast_fn(s, x, y):
             return render_tiles_wavefront(
-                s, x, y, spp, capacity_tiles=wavefront_cap, **mk_kw)
+                s, x, y, spp, sample_offset=sample_offset,
+                capacity_tiles=wavefront_cap, **mk_kw)
     else:
         def fast_fn(s, x, y):
-            return render_tiles(s, x, y, spp, **mk_kw)
+            return render_tiles(s, x, y, spp, sample_offset=sample_offset,
+                                **mk_kw)
 
     @partial(
         shard_map,
@@ -139,9 +142,14 @@ def render_scene_sharded(
     ray_tile: int = DEFAULT_RAY_TILE,
     spp_override: Optional[int] = None,
     model_axis: Optional[str] = None,
+    sample_offset: Array | int = 0,
 ) -> Array:
     """Render with pixels sharded over ``mesh`` axis "data" (and
     optionally triangle blocks over ``model_axis``).
+
+    ``sample_offset`` shifts every sample's RNG stream index (the
+    frame index in bench/serving loops) — same contract as
+    ``render_scene``.
 
     Returns the full (H, W, 3) linear image (XLA inserts the final
     gather when the caller reads it un-sharded).
@@ -201,7 +209,8 @@ def render_scene_sharded(
         if wf_env == "auto" and wavefront_cap is None:
             wavefront = False  # monolithic beats un-staged wavefront
         return _render_sharded_fast(scene, mesh, spp, wavefront,
-                                    jitter_mode, wavefront_cap)
+                                    jitter_mode, wavefront_cap,
+                                    sample_offset=sample_offset)
 
     # staged path: compaction + all_to_all rebalance engage under the
     # same RT_WAVEFRONT knob as the single-chip scheduler (read here,
@@ -219,7 +228,8 @@ def render_scene_sharded(
         and mesh.shape.get(model_axis, 1) > 1
     )
     return _render_sharded_staged(
-        scene, mesh, jitter_mode, ray_tile, spp, model_axis, compacted)
+        scene, mesh, jitter_mode, ray_tile, spp, model_axis, compacted,
+        sample_offset=sample_offset)
 
 
 @partial(
@@ -228,7 +238,7 @@ def render_scene_sharded(
                      "compacted"),
 )
 def _render_sharded_staged(scene, mesh, jitter_mode, ray_tile, spp,
-                           model_axis, compacted=False):
+                           model_axis, compacted=False, sample_offset=0):
     """The staged (XLA integrator) sharded render: the general path,
     required whenever triangle blocks shard over a model axis."""
     w, h = scene.camera.width, scene.camera.height
@@ -277,11 +287,14 @@ def _render_sharded_staged(scene, mesh, jitter_mode, ray_tile, spp,
         n_local = xs_l.shape[0]
 
         def one_sample(s):
+            s = s + sample_offset
             if jitter_mode == "wang":
                 jx, jy = rnglib.pixel_jitter(xs_l, ys_l, s)
             elif jitter_mode == "reference_cpu":
-                jx = jnp.broadcast_to(host_offsets[s, 0], xs_l.shape)
-                jy = jnp.broadcast_to(host_offsets[s, 1], ys_l.shape)
+                sc = jnp.minimum(s, spp - 1)  # offset-safe (clamp like
+                # accumulate_samples; reference_cpu has spp host offsets)
+                jx = jnp.broadcast_to(host_offsets[sc, 0], xs_l.shape)
+                jy = jnp.broadcast_to(host_offsets[sc, 1], ys_l.shape)
             else:  # center
                 jx = jnp.full(xs_l.shape, 0.5, jnp.float32)
                 jy = jnp.full(ys_l.shape, 0.5, jnp.float32)

@@ -165,8 +165,11 @@ def accumulate_samples(
             o, d, st = args
             # pinhole camera: every depth-0 ray shares cam.center, so
             # the resident Pallas closest runs its shared-origin dense
-            # test (integrator.trace_rays shared_origin0)
-            return trace_rays(o, d, st, scene, shared_origin0=True)
+            # test (integrator.trace_rays shared_origin0) — gated on
+            # the camera contract, not assumed (a lens/aperture camera
+            # must not silently render every ray from origins[0])
+            return trace_rays(o, d, st, scene,
+                              shared_origin0=bool(cam.is_pinhole))
 
         return _tile_map(tile_fn, (origins, dirs, seeds), num_rays, ray_tile)
 
