@@ -503,12 +503,28 @@ def main():
     # steady-state loop below traces the staged scheduler instead of
     # falling back.  This replaced a full eager warm render that cost
     # ~200 s of redundant whole-pipeline compiles per bench run.
-    from raytracinginonesemester_tpu.render.renderer import resolve_wavefront
+    from raytracinginonesemester_tpu.render.renderer import (
+        resolve_candidate_plan, resolve_wavefront)
 
     t0 = time.time()
     wf, cap = resolve_wavefront(scene, "wang", args.spp)
     print(f"capacity calibration: {time.time() - t0:.2f}s "
           f"(wavefront={wf} cap={cap})", file=sys.stderr)
+    # binned camera-candidate plan (ops.binned): resolved EAGERLY here —
+    # inside the jitted steady-state loop the scene is a tracer and
+    # plan building is impossible, so it must be threaded in
+    t0 = time.time()
+    cand_plan = resolve_candidate_plan(scene, "wang", args.spp)
+    if cand_plan is not None:
+        from raytracinginonesemester_tpu.ops.binned import (
+            candidate_plan_stats)
+        from raytracinginonesemester_tpu.ops.megakernel import RAY_TILE
+
+        print(f"binned plan: {time.time() - t0:.2f}s "
+              f"{candidate_plan_stats(cand_plan, RAY_TILE)}",
+              file=sys.stderr)
+    else:
+        print("binned plan: off", file=sys.stderr)
     img = None
 
     # NOTE: under the tunneled single-chip runtime block_until_ready can
@@ -536,7 +552,7 @@ def main():
         def frame_checksum(s, off0):
             return jnp.sum(render_scene_frames(
                 s, args.frames, jitter_mode="wang", sample_offset=off0,
-                ray_tile=args.ray_tile))
+                ray_tile=args.ray_tile, cand_plan=cand_plan))
     else:
         @jax.jit
         def frame_checksum(s, off0):
@@ -544,6 +560,7 @@ def main():
                 img = render_scene(
                     s, jitter_mode="wang", ray_tile=args.ray_tile,
                     spp_override=args.spp, sample_offset=off,
+                    cand_plan=cand_plan,
                 )
                 return c + jnp.sum(img), 0
             total, _ = jax.lax.scan(

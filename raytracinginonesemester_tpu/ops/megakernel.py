@@ -426,7 +426,7 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
                    order_ref, entry_ref,
                    t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
                    chunk=0, col_scr=None, dialect="gpu", qsel_ref=None,
-                   mm_f32_dot=False, qaabb_ref=None, nq=1):
+                   mm_f32_dot=False, qaabb_ref=None, nq=1, binned=None):
     rt = t_col.shape[0]
     # quarter-major layout: with the triangle-axis gate on, operand
     # rows are 128-lane QUARTERS (row (k*L + b)*nq + q); nq == 1 makes
@@ -447,8 +447,9 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
         ``o_sc`` may be scalars (shared-origin primaries; then the dense
         test broadcasts) or (RT, 1) columns.  ``use_plan`` walks the
         sorted superblock plan front-to-back with entry early-exit;
-        otherwise (incoherent bounce wavefronts) a centroid-ordered
-        near-to-far block scan with a provable distance exit.
+        ``"binned"`` streams the tile's precomputed candidate chunks
+        from HBM (``ops.binned``, requires the ``binned`` closure refs);
+        otherwise (incoherent bounce wavefronts) a flat block scan.
         """
         dx_c, dy_c, dz_c = d_c
         inv_l = (1.0 / d_l[0], 1.0 / d_l[1], 1.0 / d_l[2])
@@ -608,7 +609,84 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
 
         if _DEBUG_SKIP_TRAVERSAL:
             return
-        if use_plan:
+        if use_plan == "binned":
+            # --- binned candidate walk (ops.binned): stream this
+            # tile's precomputed candidate chunks from HBM through a
+            # double buffer; each chunk is a dense (RT, C) visit with
+            # the standard lexicographic (t, global id) winner update.
+            # No slab gates: the plan IS the culling (probe: 14.8x
+            # fewer padded pairs than the tile-union block walk).
+            cs_hbm, meta_ref, cand_buf, cand_sem = binned
+            crows = cand_buf.shape[1]
+            start = meta_ref[row, 0]
+            cnt = meta_ref[row, 1]
+
+            def b_issue(slot, k):
+                # clamped so the unconditional prefetch of the pattern
+                # (pre-issue + drain) stays in range for cnt == 0 tiles
+                kk = jnp.maximum(jnp.minimum(k, cnt - 1), 0)
+                pltpu.make_async_copy(
+                    cs_hbm.at[pl.ds((start + kk) * crows, crows), :],
+                    cand_buf.at[slot], cand_sem.at[slot],
+                ).start()
+
+            def b_wait(slot):
+                pltpu.make_async_copy(
+                    cs_hbm.at[pl.ds(0, crows), :], cand_buf.at[slot],
+                    cand_sem.at[slot],
+                ).wait()
+
+            b_issue(0, jnp.int32(0))
+
+            def b_body(k):
+                slot = jax.lax.rem(k, 2)
+                b_wait(slot)
+                b_issue(1 - slot, k + 1)
+                tri = tuple(
+                    cand_buf[slot, pl.ds(k_, 1), :] for k_ in range(9)
+                )
+                # exact-integer f32 rows -> int32 (values < 2^24)
+                ids = cand_buf[slot, pl.ds(9, 1), :].astype(jnp.int32)
+                home = cand_buf[slot, pl.ds(10, 1), :]
+                t, u, v = _mt_block(o_sc, d_c, tri, det_eps, tmin_c,
+                                    t_col[:])
+                t = jnp.where(ids >= 0, t, F32_MAX)
+                min_t = jnp.min(t, axis=1, keepdims=True)
+                at_min = t == min_t
+                id_key = jnp.where(at_min & (ids >= 0), ids, int_max)
+                best_id = jnp.min(id_key, axis=1, keepdims=True)
+                old_t = t_col[:]
+                old_idx = idx_col[:]
+                old_key = jnp.where(old_idx >= 0, old_idx, int_max)
+                take = (min_t < F32_MAX) & (
+                    (min_t < old_t)
+                    | ((min_t == old_t) & (best_id < old_key))
+                )
+
+                @pl.when(jnp.any(take))
+                def _():
+                    new_t = jnp.where(take, min_t, old_t)
+                    t_col[:] = new_t
+                    idx_col[:] = jnp.where(take, best_id, old_idx)
+                    t_lane[:] = _to_lane(new_t)
+                    # winner home rows vary per lane here (a chunk
+                    # mixes triangles from different blocks): select
+                    # the winning lane's home with the same unique-id
+                    # one-hot the deferred resolve uses
+                    pick = at_min & (id_key == best_id)
+                    home_w = jnp.sum(jnp.where(pick, home, 0.0),
+                                     axis=1, keepdims=True)
+                    take_l = _to_lane(jnp.where(take, 1.0, 0.0)) > 0.0
+                    blk_win[:] = jnp.where(
+                        take_l, _to_lane(home_w).astype(jnp.int32),
+                        blk_win[:])
+
+                return k + 1
+
+            k_end = jax.lax.while_loop(lambda k: k < cnt, b_body,
+                                       jnp.int32(0))
+            b_wait(jax.lax.rem(k_end, 2))  # drain the prefetch
+        elif use_plan:
             def cond(k):
                 in_range = k < num_supers
                 next_entry = entry_ref[row, jnp.minimum(k, num_supers - 1)]
@@ -1961,14 +2039,19 @@ _ST_ALIVE_ROW = 12  # the aliveness flag row (1.0 alive / 0.0 dead)
 def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
                  dialect, jitter, shadow_samples,
                  num_blocks, num_supers, n_lights, n_objects, mm_attrs,
-                 mats_mm, nq, chunk,
+                 mats_mm, nq, chunk, binned_chunk,
                  xy_ref, cam_ref, lights_ref, mats_ref, off_ref,
                  tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
                  qsel_ref, matsq_ref, qaabb_ref, order_ref, entry_ref,
+                 cmeta_ref, cstream_ref,
                  st_out, rng_out, *scratch):
     cpuonly = dialect == "cpuonly"
     spos_scr = None
     col_scr = None
+    binned = None
+    if binned_chunk:
+        *scratch, cand_buf, cand_sem = scratch
+        scratch = tuple(scratch)
     if cpuonly:
         (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
          blk_lane,
@@ -1990,6 +2073,8 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
          bo_x, bo_y, bo_z, bd_x, bd_y, bd_z, hm_x, hm_y, hm_z) = scratch
     rt = t_col.shape[0]
     row = jax.lax.rem(pl.program_id(0), 8)
+    if binned_chunk:
+        binned = (cstream_ref, cmeta_ref, cand_buf, cand_sem)
 
     primary_ray, (cx, cy, cz), (miss_r, miss_g, miss_b) = _make_primary(
         xy_ref, cam_ref, off_ref, jitter=jitter)
@@ -2009,7 +2094,13 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
     if cpuonly:
         has_work = jnp.bool_(True)
     else:
-        has_work = entry_ref[row, 0] < jnp.inf
+        if binned_chunk:
+            # candidate count 0 <=> no triangle any tile ray can reach
+            # (conservative at triangle granularity — a strictly
+            # tighter shortcut than the superblock plan's)
+            has_work = cmeta_ref[row, 1] > 0
+        else:
+            has_work = entry_ref[row, 0] < jnp.inf
 
         @pl.when(~has_work)
         def _():
@@ -2037,6 +2128,7 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
         chunk=chunk, col_scr=col_scr,
         dialect=dialect, qsel_ref=qsel_ref if mm_attrs else None,
         mm_f32_dot=mm_attrs == 2, qaabb_ref=qaabb_ref, nq=nq,
+        binned=binned,
     )
     shade = _make_shade(
         det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
@@ -2059,6 +2151,7 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
         chunk_shadow=bool(chunk), dialect=dialect,
         matsq_ref=matsq_ref, mats_mm=mats_mm,
     )
+    depth0_mode = "binned" if binned_chunk else not emit_flat(num_blocks)
 
     @pl.when(has_work)
     def _():
@@ -2076,9 +2169,10 @@ def _emit_kernel(det_eps, tmin, shadow_eps, shadow_tmin, diffuse_bounce,
         rd_b[:] = zeros
         alive_st[:] = jnp.ones((1, rt), jnp.float32)
 
-        # depth 0: planned, shared-origin traversal + direct light +
-        # the RR bounce decision (bit-identical to the monolithic path)
-        bounce(not emit_flat(num_blocks), (cx, cy, cz))
+        # depth 0: planned (or binned-candidate), shared-origin
+        # traversal + direct light + the RR bounce decision
+        # (bit-identical to the monolithic path in exact semantics)
+        bounce(depth0_mode, (cx, cy, cz))
 
         for r_, ref in enumerate((bo_x, bo_y, bo_z, bd_x, bd_y, bd_z,
                                   tp_r, tp_g, tp_b, rd_r, rd_g, rd_b,
@@ -2202,6 +2296,7 @@ def emit_tiles(
     shadow_samples: int = 1,
     plan=None,
     chunk: int = None,
+    cand_plan=None,
 ):
     """Depth-0 pass of the wavefront path: camera rays + direct light +
     the RR bounce decision.  Returns (state, rng_state):
@@ -2219,12 +2314,22 @@ def emit_tiles(
     pruned rows the (1, RT) any-gate cannot skip; chunk preds can —
     bit-identical winner updates (same per-row take rule).  Only
     active on the flat-scan path (plan traversal keeps full tiles).
+
+    ``cand_plan``: optional ``ops.binned.CandidatePlan`` built for
+    EXACTLY this (scene, camera, padded tile stream) — the depth-0
+    traversal then streams each tile's precomputed triangle-granularity
+    candidate chunks from HBM instead of walking blocks (~15x fewer
+    dense pairs on the frog camera pass).  Bit-identical winners in
+    exact semantics (conservative superset + order-invariant (t, id)
+    selection).
     """
     grid = scene.accel
     xs, ys, n, np_rays = _pad_tiles(xs, ys)
     nt = np_rays // RAY_TILE
     if chunk is None:
         chunk = _EMIT_CHUNK
+    if cand_plan is not None:
+        chunk = 0  # row-chunk gating is a flat-scan knob; binned replaces it
     if chunk and (RAY_TILE % chunk or chunk % 8 or dialect == "cpuonly"
                   or not emit_flat(grid.num_blocks)):
         chunk = 0
@@ -2235,6 +2340,16 @@ def emit_tiles(
     else:
         order, entry = plan
     ls = order.shape[1]
+
+    if cand_plan is not None:
+        assert cand_plan.meta.shape[0] == nt, (
+            "candidate plan built for a different tile stream")
+        cmeta, cstream = cand_plan.meta, cand_plan.stream
+        binned_chunk = int(cand_plan.chunk)
+    else:
+        cmeta = jnp.zeros((nt, 8), jnp.int32)
+        cstream = jnp.zeros((16, 128), jnp.float32)
+        binned_chunk = 0
 
     xy = jnp.concatenate(
         [xs.reshape(nt, 1, RAY_TILE), ys.reshape(nt, 1, RAY_TILE),
@@ -2255,20 +2370,31 @@ def emit_tiles(
         + [pl.BlockSpec((8, ls), lambda i: (i // 8, 0),
                         memory_space=pltpu.SMEM),
            pl.BlockSpec((8, ls), lambda i: (i // 8, 0),
-                        memory_space=pltpu.SMEM)]
+                        memory_space=pltpu.SMEM),
+           # binned candidate plan: per-tile meta scalars + the HBM
+           # chunk stream (dummies when binned_chunk == 0)
+           pl.BlockSpec((8, 8), lambda i: (i // 8, 0),
+                        memory_space=pltpu.SMEM),
+           pl.BlockSpec(memory_space=pl.ANY)]
     )
 
     scratch = _bounce_scratch(dialect == "cpuonly")
     if chunk:
         scratch += [pltpu.VMEM((RAY_TILE, 1), jnp.float32),
                     pltpu.VMEM((RAY_TILE, 1), jnp.int32)]
+    if binned_chunk:
+        from .binned import CAND_ROWS
+
+        scratch += [pltpu.VMEM((2, CAND_ROWS, binned_chunk), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,))]
     st, rng = pl.pallas_call(
         partial(_emit_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
                 bool(scene.diffuse_bounce),
                 dialect, jitter, int(shadow_samples),
                 l, ls, n_lights, n_objects, mm_attrs_mode(grid, interpret),
                 mats_mm_mode(n_objects, interpret),
-                quarters_for(grid.tri_index.shape[1]), int(chunk)),
+                quarters_for(grid.tri_index.shape[1]), int(chunk),
+                binned_chunk),
         out_shape=[
             jax.ShapeDtypeStruct((nt * _ST_ROWS, RAY_TILE), jnp.float32),
             jax.ShapeDtypeStruct((nt * 8, RAY_TILE), jnp.int32),
@@ -2285,7 +2411,7 @@ def emit_tiles(
             scratch_shapes=scratch,
         ),
         interpret=interpret,
-    )(xy, *scalar_ops, off_row, *geom_ops, order, entry)
+    )(xy, *scalar_ops, off_row, *geom_ops, order, entry, cmeta, cstream)
     return st, rng
 
 

@@ -301,7 +301,7 @@ def _staged_ladder(scene, h_st, h_rng, h_pix, cap, lo, span,
 
 
 def _render_group(scene, xs_p, ys_p, plan, lo, span, cap, group, s0,
-                  staged_chunk, jitter, kw):
+                  staged_chunk, jitter, kw, cand_plan=None):
     """Render ``group`` consecutive samples with a MERGED bounce phase.
 
     Phase A (a scan over the group) runs each sample's emit and gathers
@@ -339,7 +339,7 @@ def _render_group(scene, xs_p, ys_p, plan, lo, span, cap, group, s0,
 
     def emit_one(_, j):
         st, rng = emit_tiles(scene, xs_p, ys_p, s0 + j, jitter=jitter,
-                             plan=plan, **kw)
+                             plan=plan, cand_plan=cand_plan, **kw)
         stv = st.reshape(nt, _ST_ROWS, RAY_TILE)
         alive_t = jnp.any(stv[:, _ST_ALIVE_ROW] > 0.0, axis=1)
         overflow = jnp.sum(alive_t.astype(jnp.int32)) > cap
@@ -437,10 +437,15 @@ def render_tiles_wavefront(
     capacity_tiles: int | None = None,
     staged_chunk: int | None = None,
     sample_group: int | None = None,
+    cand_plan=None,
 ) -> Array:
     """Wavefront render of swizzled pixel tiles -> (N, 3) radiance SUM
     over spp samples; drop-in for ``megakernel.render_tiles`` on
     non-terminal scenes of either dialect (bit-identical output).
+
+    ``cand_plan``: optional binned camera-candidate plan
+    (``ops.binned``) threaded to every emit — must have been built for
+    exactly this (scene, camera, padded tile stream).
 
     ``capacity_tiles``: static alive-wavefront capacity enabling the
     STAGED scheduler — the tiles holding depth-0 survivors (at most
@@ -509,7 +514,7 @@ def render_tiles_wavefront(
 
     def one_sample(s):
         st, rng = emit_tiles(scene, xs_p, ys_p, s, jitter=jitter,
-                             plan=plan, **kw)
+                             plan=plan, cand_plan=cand_plan, **kw)
         if staged_cap is None:
             st_s, rng_s, pix_s = sort_bounce_state(st, rng, pix, lo, span)
             r2, g2, b2 = resume_monolithic((st_s, rng_s, pix_s))
@@ -588,7 +593,7 @@ def render_tiles_wavefront(
         def add_group(acc, s0g):
             r3 = _render_group(scene, xs_p, ys_p, plan, lo, span,
                                staged_cap, group, s0g, staged_chunk,
-                               jitter, kw)
+                               jitter, kw, cand_plan=cand_plan)
             # accumulate per sample IN ORDER: each pixel sees the same
             # addition sequence as the unmerged spp loop
             for j in range(group):
@@ -649,6 +654,7 @@ def render_tiles_wavefront_frames(
     shadow_samples: int = 1,
     capacity_tiles: int | None = None,
     staged_chunk: int | None = None,
+    cand_plan=None,
 ) -> Array:
     """``frames`` whole spp-1 frames in ONE dispatch with a merged
     bounce phase -> (frames, N, 3) per-frame radiance.
@@ -690,7 +696,7 @@ def render_tiles_wavefront_frames(
 
     off = jnp.asarray(sample_offset, jnp.int32)
     r3 = _render_group(scene, xs_p, ys_p, plan, lo, span, cap, frames,
-                       off, staged_chunk, jitter, kw)
+                       off, staged_chunk, jitter, kw, cand_plan=cand_plan)
     if dialect != "cpuonly":
         r3 = tuple(jnp.clip(c, 0.0, 1.0) for c in r3)
     return jnp.stack([c[:, :n] for c in r3], axis=2)  # (frames, N, 3)
