@@ -152,7 +152,8 @@ def _bench_large(args):
     from __graft_entry__ import _frog_scene
     from raytracinginonesemester_tpu.ops.accel import build_block_grid
     from raytracinginonesemester_tpu.ops.pallas_kernels import (
-        fits_vmem, num_chunks_for, pallas_block_closest_streamed)
+        fits_vmem, num_chunks_for, pallas_block_closest_blockmajor,
+        pallas_block_closest_streamed)
     from raytracinginonesemester_tpu.render.renderer import render_scene
     from raytracinginonesemester_tpu.scene.subdivide import subdivide_geometry
 
@@ -179,39 +180,55 @@ def _bench_large(args):
           f"fits_vmem={fits_vmem(grid)}, hbm_chunks={chunks}, "
           f"build {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # (a) streamed closest-hit pass on the camera rays
+    # (a) streamed closest-hit passes on the camera rays: BLOCK-MAJOR
+    # (scene slabs stream once per 32k-ray chunk — the headline) vs the
+    # round-3 plan-walk kernel (scene window re-read per 512-ray tile)
     xs, ys = np.meshgrid(np.arange(w, dtype=np.float32),
                          np.arange(h, dtype=np.float32))
     o, d = scene.camera.get_rays(
         jnp.asarray(xs.ravel() + 0.5), jnp.asarray(ys.ravel() + 0.5))
-    closest = jax.jit(lambda o, d, s: pallas_block_closest_streamed(
-        o, d + 0.0 * s, grid, tmin=1e-4, det_eps=1e-8))
 
-    def run_closest(i):
-        hits = closest(o, d, jnp.float32(i))
-        return float(jax.device_get(jnp.sum(hits.t * (hits.t < 1e30))))
+    def timed_closest(label, fn):
+        run = jax.jit(lambda o, d, s: fn(o, d + 0.0 * s))
 
-    t0 = time.time()
-    chk = run_closest(0)
-    print(f"closest warmup: {time.time() - t0:.1f}s chk {chk:.4g}",
-          file=sys.stderr)
-    times = []
-    for i in range(args.iters):
+        def one(i):
+            hits = run(o, d, jnp.float32(i))
+            return float(jax.device_get(jnp.sum(hits.t * (hits.t < 1e30))))
+
         t0 = time.time()
-        run_closest(i + 1)
-        times.append(time.time() - t0)
-    dt_c = sorted(times)[len(times) // 2]
+        chk = one(0)
+        print(f"{label} warmup: {time.time() - t0:.1f}s chk {chk:.4g}",
+              file=sys.stderr)
+        times = []
+        for i in range(args.iters):
+            t0 = time.time()
+            one(i + 1)
+            times.append(time.time() - t0)
+        dt = sorted(times)[len(times) // 2]
+        print(f"{label}: {dt*1e3:.1f} ms @ {w}x{h} -> {w*h/dt:.3e} rays/s",
+              file=sys.stderr)
+        return dt
+
+    dt_c = timed_closest(
+        "block-major closest",
+        lambda o, d: pallas_block_closest_blockmajor(
+            o, d, grid, tmin=1e-4, det_eps=1e-8))
+    dt_pw = timed_closest(
+        "plan-walk closest (round-3 kernel)",
+        lambda o, d: pallas_block_closest_streamed(
+            o, d, grid, tmin=1e-4, det_eps=1e-8))
     rays_c = w * h / dt_c
-    # effective HBM read volume: the 9 f32 triangle planes + the int32
-    # id plane stream through the DMA window once per ray tile
-    from raytracinginonesemester_tpu.ops.pallas_kernels import RAY_TILE
+    from raytracinginonesemester_tpu.ops.pallas_kernels import (
+        BM_CHUNK_TILES, RAY_TILE)
 
     nt = -(-w * h // RAY_TILE)
     plane_bytes = grid.tri.size * 4 + grid.tri_index.size * 4
-    bw = plane_bytes * nt / dt_c / 1e9
-    print(f"streamed closest: {dt_c*1e3:.1f} ms @ {w}x{h} "
-          f"-> {rays_c:.3e} rays/s, ~{bw:.0f} GB/s effective HBM read",
-          file=sys.stderr)
+    bw = plane_bytes * nt / dt_pw / 1e9  # plan-walk reads per tile
+    n_chunks = -(-nt // BM_CHUNK_TILES)
+    bw_bm = plane_bytes * n_chunks / dt_c / 1e9
+    print(f"effective scene-read: block-major ~{bw_bm:.0f} GB/s over "
+          f"{n_chunks} chunk sweeps; plan-walk ~{bw:.0f} GB/s over "
+          f"{nt} tile windows", file=sys.stderr)
 
     # (b) full frame through the integrator with the HBM-streamed
     # traversal kernels (>VMEM scenes are not megakernel-eligible, so
@@ -245,6 +262,7 @@ def _bench_large(args):
         "vs_baseline": rays_c / 5e8,
         "tris": int(geom.num_triangles),
         "closest_ms": round(dt_c * 1e3, 1),
+        "closest_planwalk_ms": round(dt_pw * 1e3, 1),
         "frame_ms": round(dt_r * 1e3, 1),
         "hbm_gb_per_s": round(bw, 1),
     }))

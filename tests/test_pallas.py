@@ -306,6 +306,55 @@ def test_streamed_kernels_match_xla_block_path():
     np.testing.assert_array_equal(np.asarray(occ_ref), np.asarray(occ_st))
 
 
+def test_blockmajor_kernels_match_xla_block_path():
+    """Block-major streaming (scene slabs swept over resident ray
+    chunks, ``pallas_block_closest_blockmajor``) must be bit-identical
+    to the XLA block path: winner selection is order-invariant, so
+    sweeping slab-major instead of plan-order never shifts a bit.
+    Small chunk/slab sizes exercise the multi-chunk x multi-slab grid
+    and the (I, J) gate."""
+    import jax.numpy as jnp
+
+    from raytracinginonesemester_tpu.ops.accel import (block_closest,
+                                                       block_occluded,
+                                                       build_block_grid)
+    from raytracinginonesemester_tpu.ops.pallas_kernels import (
+        pallas_block_closest_blockmajor, pallas_block_occluded_blockmajor)
+
+    rs = np.random.RandomState(11)
+    t = 4096
+    tris = jnp.asarray(rs.uniform(-1, 1, (t, 3, 3)).astype(np.float32))
+    grid = build_block_grid(tris, jnp.asarray(t), block_size=128)
+    r = 4096  # > chunk_tiles * RAY_TILE so I > 1
+    # coherent-ish origins so the chunk gate has structure to skip
+    o = jnp.asarray((np.tile([0.0, -3.0, 0.0], (r, 1))
+                     + 0.1 * rs.uniform(-1, 1, (r, 3))).astype(np.float32))
+    d = rs.uniform(-1, 1, (r, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+
+    ref = block_closest(o, d, grid, tmin=1e-4, det_eps=1e-8)
+    bm = pallas_block_closest_blockmajor(
+        o, d, grid, tmin=1e-4, det_eps=1e-8, interpret=True,
+        chunk_tiles=4, slab_blocks=8)
+    assert int(np.sum(np.asarray(ref.hit))) > 0
+    np.testing.assert_array_equal(np.asarray(ref.tri_idx),
+                                  np.asarray(bm.tri_idx))
+    hit = np.asarray(ref.hit)
+    np.testing.assert_array_equal(np.asarray(ref.t)[hit],
+                                  np.asarray(bm.t)[hit])
+    np.testing.assert_array_equal(np.asarray(ref.u)[hit],
+                                  np.asarray(bm.u)[hit])
+    np.testing.assert_array_equal(np.asarray(ref.v)[hit],
+                                  np.asarray(bm.v)[hit])
+
+    tmax = jnp.full(r, 2.5)
+    occ_ref = block_occluded(o, d, grid, tmin=1e-4, tmax=tmax, det_eps=1e-8)
+    occ_bm = pallas_block_occluded_blockmajor(
+        o, d, grid, tmin=1e-4, tmax=tmax, det_eps=1e-8, interpret=True,
+        chunk_tiles=4, slab_blocks=8)
+    np.testing.assert_array_equal(np.asarray(occ_ref), np.asarray(occ_bm))
+
+
 def test_quarter_gating_closest_occluded_bit_identical(monkeypatch):
     """RT_QUARTER gating in the standalone closest/occluded kernels
     must not shift a bit: quarters combine through the same
