@@ -53,6 +53,12 @@ _DIFF_SG = set(filter(None, _os.environ.get("RT_DIFF_SG", "").split(",")))
 # would be captured by the first trace and masked by the jit cache
 # (flipping the knob between renders would silently do nothing).
 _DIFF_UNROLL_ENV = _os.environ.get("RT_DIFF_UNROLL", "")
+# Fused detached oracle for differentiable scenes (ops.diff_oracle):
+# ONE fused bounce kernel per depth supplies winners + shadow
+# visibility + branch decisions, replacing the 2 closest + 2 occlusion
+# standalone launches per step (42.7 of 84.1 ms at 960x540 bounces-2,
+# round-4 profile).  "0" keeps the standalone detached kernels.
+_DIFF_ORACLE = _os.environ.get("RT_DIFF_ORACLE", "1") == "1"
 # Fused in-kernel shadow visibility for detached-diff scenes (see
 # make_bounce_step).  Default OFF — re-measured after the round-4
 # backward cleanup and it still loses (87.4 -> 129.7 ms/step on the
@@ -105,7 +111,8 @@ def merge_hits_over_axis(hits, axis_name: str, extra=None):
     return merged, ex[best, cols]
 
 
-def make_bounce_step(scene: Scene, model_axis: str | None = None):
+def make_bounce_step(scene: Scene, model_axis: str | None = None,
+                     oracle=None):
     """Build the integrator's single-bounce step for a scene.
 
     Returns ``bounce(carry, _) -> (carry, None)`` over the wavefront
@@ -115,6 +122,12 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
     ``model_axis``) the collective hit merges baked in.  Shared by
     ``trace_rays`` and the compacted sharded scheduler
     (``parallel.wavefront_sharded``), so the two can never drift.
+
+    ``oracle``: per-bounce detached residuals from
+    ``ops.diff_oracle.fused_bounce_oracle`` — the differentiable chain
+    then consumes the fused kernel's winners/visibility/decisions
+    (indexed by the static bounce index ``k`` the unrolled caller
+    passes) instead of launching standalone closest/occlusion kernels.
     """
     gpu = scene.dialect == "gpu"
     det_eps = 1e-8 if gpu else FLT_EPSILON
@@ -295,7 +308,49 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
             return jax.lax.psum(local.astype(jnp.int32), model_axis) > 0
 
     tri_cell = [None]  # set by the detached closest_fn below
-    if differentiable and scene.accel is not None:
+    oracle_closest = None
+    if oracle is not None:
+        # Fused detached oracle (ops.diff_oracle): winners, visibility,
+        # and branch decisions come from the fused bounce kernels;
+        # the gradient-carrying recompute below is IDENTICAL to the
+        # standalone detached path's.
+        assert differentiable and scene.accel is not None and gpu
+        sg = jax.lax.stop_gradient
+        from jax.ad_checkpoint import checkpoint_name
+
+        _ckpt = lambda x: checkpoint_name(x, "diff_kernel")
+        from .diff_gather import gather_rows
+        interp_g = jax.default_backend() != "tpu"
+        n_lights_o = int(scene.lights.intensity.shape[0])
+
+        def oracle_closest(o, d, k):
+            idx_raw = _ckpt(oracle["idx"][k])
+            hits = HitData(t=_ckpt(oracle["t"][k]), u=_ckpt(oracle["u"][k]),
+                           v=_ckpt(oracle["v"][k]), tri_idx=idx_raw,
+                           hit=idx_raw >= 0)
+            idx = jnp.maximum(idx_raw, 0)
+            tri = gather_rows(geom.vertices.shape[0], interp_g,
+                              geom.vertices, idx)
+            if "tri" in _DIFF_SG:
+                tri = sg(tri)
+            tn = gather_rows(geom.normals.shape[0], interp_g,
+                             geom.normals, idx)
+            tri_cell[0] = (tri, tn)
+            t2, u2, v2 = mt_single(o, d, tri, det_eps)
+            thru = lambda a, b: a + (b - sg(b))
+            hits = HitData(
+                t=thru(hits.t, t2), u=thru(hits.u, u2),
+                v=thru(hits.v, v2), tri_idx=hits.tri_idx, hit=hits.hit,
+            )
+            if "tuv" in _DIFF_SG:
+                hits = jax.tree.map(sg, hits)
+            vis_bits = _ckpt(oracle["vis"][k])
+            kv = jnp.stack(
+                [((vis_bits >> li) & 1).astype(jnp.float32)
+                 for li in range(n_lights_o)], axis=1)
+            return hits, None, kv, _ckpt(oracle["dec"][k])
+
+    if differentiable and scene.accel is not None and oracle is None:
         # Detached-traversal differentiable mode: the (dynamic-loop,
         # non-differentiable) block/Pallas traversal runs entirely under
         # stop_gradient to pick the winner triangle; a per-ray
@@ -364,10 +419,12 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
             return _ckpt(inner_occlude(sg(o), sg(d), sg(s_tmin),
                                        sg(s_tmax)))
 
-    def bounce(carry, _, first=False):
+    def bounce(carry, _, first=False, k=0):
         # ``first``: statically marks the depth-0 camera pass whose
         # rays all share one origin (trace_rays' shared_origin0) — the
-        # pallas closest kernel then hoists pair-invariant MT terms
+        # pallas closest kernel then hoists pair-invariant MT terms.
+        # ``k``: static bounce index selecting the fused oracle's
+        # residual rows (oracle mode only).
         o, d, throughput, radiance, state, alive = carry
         r = o.shape[0]
 
@@ -375,7 +432,11 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
         # so finished lanes cost the traversal kernels nothing
         o = jnp.where(alive[:, None], o, 1e30)
 
-        hits, kernel_n, kernel_vis = closest_fn(o, d, shared=first)
+        dec = None
+        if oracle_closest is not None:
+            hits, kernel_n, kernel_vis, dec = oracle_closest(o, d, k)
+        else:
+            hits, kernel_n, kernel_vis = closest_fn(o, d, shared=first)
         found = hits.hit & alive
 
         # --- miss shading ---
@@ -432,14 +493,23 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
         state_xi, xi = rnglib.rng_next(state)
         state = jnp.where(can_bounce, state_xi, state)
 
-        take_diffuse = can_bounce & (xi < kd / jnp.where(total > 0, total, 1.0))
-        if not diffuse_bounce:
-            take_diffuse = jnp.zeros_like(take_diffuse)
-        take_mirror = can_bounce & ~take_diffuse
-        if not gpu:
-            # CPUOnly only mirrors when kr > 0 (raytracer.h:249);
-            # the GPU loop always takes the else-branch.
-            take_mirror = take_mirror & (kr > 0.0)
+        if dec is not None:
+            # oracle decisions are authoritative: the fused kernel and
+            # the XLA recompute can drift in the last ulp on TPU, and a
+            # desynchronized branch would pair this chain's rays with
+            # the wrong next-bounce residuals
+            take_diffuse = (dec & 2) > 0
+            take_mirror = (dec & 4) > 0
+        else:
+            take_diffuse = can_bounce & (
+                xi < kd / jnp.where(total > 0, total, 1.0))
+            if not diffuse_bounce:
+                take_diffuse = jnp.zeros_like(take_diffuse)
+            take_mirror = can_bounce & ~take_diffuse
+            if not gpu:
+                # CPUOnly only mirrors when kr > 0 (raytracer.h:249);
+                # the GPU loop always takes the else-branch.
+                take_mirror = take_mirror & (kr > 0.0)
 
         if diffuse_bounce:
             # diffuse branch: hemisphere sample consumes RNG only where
@@ -496,8 +566,11 @@ def make_bounce_step(scene: Scene, model_axis: str | None = None):
         throughput = jnp.where(bounced[:, None], throughput * tp_scale, throughput)
 
         # early-out: all channels < 1e-4 (query.h:209-212)
-        tiny = jnp.all(throughput < 1e-4, axis=-1)
-        alive = bounced & ~tiny
+        if dec is not None:
+            alive = (dec & 8) > 0  # the kernel's own bounced & ~tiny
+        else:
+            tiny = jnp.all(throughput < 1e-4, axis=-1)
+            alive = bounced & ~tiny
 
         return (o, d, throughput, radiance, state, alive), None
 
@@ -545,7 +618,26 @@ def trace_rays(
     shared-origin dense test (~30% fewer per-pair MT ops in the
     resident Pallas kernel).  Identical per-lane math either way.
     """
-    bounce = make_bounce_step(scene, model_axis)
+    differentiable0 = bool(getattr(scene, "differentiable", False))
+    use_pallas0 = scene.use_pallas
+    if use_pallas0 is None:
+        use_pallas0 = jax.default_backend() == "tpu"
+    oracle = None
+    if differentiable0 and use_pallas0 and _DIFF_ORACLE:
+        if _DIFF_UNROLL_ENV:
+            will_unroll = _DIFF_UNROLL_ENV == "1"
+        else:
+            will_unroll = int(scene.max_bounces) <= 8
+        from .diff_oracle import fused_bounce_oracle, oracle_eligible
+
+        if will_unroll and oracle_eligible(scene, model_axis):
+            gpu0 = scene.dialect == "gpu"
+            oracle = fused_bounce_oracle(
+                origins, dirs, rng_state, scene, int(scene.max_bounces),
+                interpret=jax.default_backend() != "tpu",
+                det_eps=1e-8 if gpu0 else FLT_EPSILON, tmin=1e-4,
+                shadow_eps=shading.RT_EPS_GPU, shadow_tmin=1e-4)
+    bounce = make_bounce_step(scene, model_axis, oracle=oracle)
     shared_origin0 = (shared_origin0
                       and getattr(bounce, "shared_origin_capable", False))
     max_depth = scene.max_bounces
@@ -576,7 +668,8 @@ def trace_rays(
         else:
             unroll = int(max_depth) <= 8
         if unroll:
-            body = lambda c, first=False: bounce(c, None, first=first)[0]
+            body = lambda c, first=False, k=0: bounce(c, None, first=first,
+                                                      k=k)[0]
             if _DIFF_REMAT and differentiable:
                 # rematerialize the bounce chain in the backward pass,
                 # SAVING only the traversal/occlusion kernel outputs
@@ -590,11 +683,11 @@ def trace_rays(
                     body,
                     policy=jax.checkpoint_policies.save_only_these_names(
                         "diff_kernel"),
-                    static_argnums=(1,),
+                    static_argnums=(1, 2),
                 )
             carry = init
             for i in range(int(max_depth)):
-                carry = body(carry, i == 0 and shared_origin0)
+                carry = body(carry, i == 0 and shared_origin0, i)
             radiance = carry[3]
         else:
             (_, _, _, radiance, _, _), _ = jax.lax.scan(

@@ -426,7 +426,8 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
                    order_ref, entry_ref,
                    t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
                    chunk=0, col_scr=None, dialect="gpu", qsel_ref=None,
-                   mm_f32_dot=False, qaabb_ref=None, nq=1, binned=None):
+                   mm_f32_dot=False, qaabb_ref=None, nq=1, binned=None,
+                   uv_scr=None):
     rt = t_col.shape[0]
     # quarter-major layout: with the triangle-axis gate on, operand
     # rows are 128-lane QUARTERS (row (k*L + b)*nq + q); nq == 1 makes
@@ -461,6 +462,9 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
         ny_l[:] = jnp.zeros((1, rt), jnp.float32)
         nz_l[:] = jnp.ones((1, rt), jnp.float32)
         obj_l[:] = jnp.zeros((1, rt), jnp.int32)
+        if uv_scr is not None:
+            uv_scr[0][:] = jnp.zeros((1, rt), jnp.float32)
+            uv_scr[1][:] = jnp.zeros((1, rt), jnp.float32)
         chunked = chunk and not use_plan
         if chunked and jnp.ndim(o_sc[0]) == 0:
             # chunked visits slice (RT, 1) origin columns; expand a
@@ -871,6 +875,11 @@ def _make_traverse(det_eps, tmin, num_blocks, num_supers, row,
             qvy = tvz * e1x - tvx * e1z
             qvz = tvx * e1y - tvy * e1x
             v_w = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            if uv_scr is not None:
+                # diff-oracle capture: the winner's primal barycentrics
+                # (consumed by the detached-diff chain's thru() rule)
+                uv_scr[0][:] = jnp.where(mask, u_w, uv_scr[0][:])
+                uv_scr[1][:] = jnp.where(mask, v_w, uv_scr[1][:])
             sn_w = _interp_normal(tuple(a[9:18]), u_w, v_w)
             snx, sny, snz = _finish_shading_normal(
                 dialect, d_l, sn_w, (a[18], a[19], a[20]))
@@ -892,7 +901,7 @@ def _make_shade(det_eps, shadow_eps, shadow_tmin, num_blocks,
                 chunk=0, blk_col=None,
                 dialect="gpu", shadow_samples=1, rng_st=None,
                 spos_scr=None, matsq_ref=None, mats_mm=0,
-                qaabb_ref=None, nq=1):
+                qaabb_ref=None, nq=1, vis_scr=None):
     rt = t_lane.shape[1]
     nrows = num_blocks * nq  # quarter rows per plane (see _make_traverse)
     s_tmin_l = jnp.full((1, rt), shadow_tmin, jnp.float32)
@@ -960,6 +969,8 @@ def _make_shade(det_eps, shadow_eps, shadow_tmin, num_blocks,
 
         so_l = (px_l, py_l, pz_l)
         so_c = (_to_col(px_l), _to_col(py_l), _to_col(pz_l))
+        if vis_scr is not None:
+            vis_scr[:] = jnp.zeros((1, rt), jnp.int32)
 
         def any_hit_walk(sd_l, si, dist, tmax_c, facing):
             """Fused occlusion walk: sets blk_lane to 1.0 on lanes whose
@@ -1141,6 +1152,10 @@ def _make_shade(det_eps, shadow_eps, shadow_tmin, num_blocks,
                              (1.0 / ldx, 1.0 / ldy, 1.0 / ldz),
                              dist, _to_col(dist), facing)
                 vis = jnp.where(facing & (blk_lane[:] == 0.0), 1.0, 0.0)
+                if vis_scr is not None:
+                    # diff-oracle capture: per-light unoccluded bit
+                    vis_scr[:] = vis_scr[:] | jnp.where(
+                        vis > 0.0, np.int32(1 << li), np.int32(0))
                 lo_r, lo_g, lo_b = brdf_add(
                     (lo_r, lo_g, lo_b), rad_rgb, (ldx, ldy, ldz),
                     ndotl, vis)
@@ -1293,7 +1308,7 @@ def _make_bounce(traverse, shade, rng_next_lane, hemisphere,
                  diffuse_bounce, n_objects, miss_rgb, mats_ref,
                  tp_refs, rd_refs, rng_st, alive_st, bo_refs, bd_refs,
                  nx_l, ny_l, nz_l, obj_l, hm_refs=None, chunk_shadow=False,
-                 dialect="gpu", matsq_ref=None, mats_mm=0):
+                 dialect="gpu", matsq_ref=None, mats_mm=0, dec_scr=None):
     miss_r, miss_g, miss_b = miss_rgb
     cpuonly = dialect == "cpuonly"
     tp_r, tp_g, tp_b = tp_refs
@@ -1453,6 +1468,17 @@ def _make_bounce(traverse, shade, rng_next_lane, hemisphere,
         # early-out: all channels < 1e-4 (query.h:209-212)
         tiny = (ntp[0] < 1e-4) & (ntp[1] < 1e-4) & (ntp[2] < 1e-4)
         alive_st[:] = jnp.where(bounced & ~tiny, 1.0, 0.0)
+        if dec_scr is not None:
+            # diff-oracle capture: branch decisions, authoritative for
+            # the detached-diff chain (bit0 found, bit1 diffuse,
+            # bit2 mirror, bit3 alive-after)
+            z = jnp.zeros((1, rt), jnp.int32)
+            dec_scr[:] = (
+                jnp.where(found, np.int32(1), z)
+                | jnp.where(take_diff, np.int32(2), z)
+                | jnp.where(take_mirror, np.int32(4), z)
+                | jnp.where(alive_st[:] > 0.0, np.int32(8), z)
+            )
 
     return bounce
 
@@ -2482,6 +2508,7 @@ def resume_tiles(
 
 def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
                         diffuse_bounce, dialect, shadow_samples, chunk,
+                        diff_out,
                         num_blocks, num_supers, n_lights, n_objects,
                         mm_attrs, mats_mm, nq,
                         cam_ref, lights_ref, mats_ref,
@@ -2489,7 +2516,7 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
                         alane_ref, qsel_ref, matsq_ref, qaabb_ref,
                         order_ref, entry_ref,
                         st_ref, rng_ref,
-                        st_out, rng_out, *scratch):
+                        st_out, rng_out, *rest):
     """ONE planned bounce on packed per-ray state (state in, state out).
 
     The staged wavefront scheduler re-sorts the alive prefix between
@@ -2500,6 +2527,15 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
     cpuonly = dialect == "cpuonly"
     spos_scr = None
     col_scr = None
+    diff_ref = None
+    uv_scr = vis_scr = dec_scr = None
+    if diff_out:
+        diff_ref, *scratch = rest
+        *scratch, u_l, v_l, vis_scr, dec_scr = scratch
+        uv_scr = (u_l, v_l)
+        scratch = tuple(scratch)
+    else:
+        scratch = rest
     if cpuonly:
         (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
          blk_lane,
@@ -2537,6 +2573,7 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
         chunk=chunk, col_scr=col_scr,
         dialect=dialect, qsel_ref=qsel_ref if mm_attrs else None,
         mm_f32_dot=mm_attrs == 2, qaabb_ref=qaabb_ref, nq=nq,
+        uv_scr=uv_scr,
     )
     shade = _make_shade(
         det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
@@ -2546,7 +2583,7 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
         blk_col=col_scr[0] if chunk else None,
         dialect=dialect, shadow_samples=shadow_samples, rng_st=rng_st,
         spos_scr=spos_scr, matsq_ref=matsq_ref, mats_mm=mats_mm,
-        qaabb_ref=qaabb_ref, nq=nq,
+        qaabb_ref=qaabb_ref, nq=nq, vis_scr=vis_scr,
     )
     rng_next_lane, hemisphere = _make_rng_hemisphere(
         rng_st, hm_x, hm_y, hm_z)
@@ -2557,13 +2594,32 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
         (bo_x, bo_y, bo_z), (bd_x, bd_y, bd_z),
         nx_l, ny_l, nz_l, obj_l, hm_refs=(hm_x, hm_y, hm_z),
         chunk_shadow=bool(chunk), dialect=dialect,
-        matsq_ref=matsq_ref, mats_mm=mats_mm,
+        matsq_ref=matsq_ref, mats_mm=mats_mm, dec_scr=dec_scr,
     )
+
+    if diff_out:
+        # defaults for dead/passthrough tiles: no hit, nothing visible
+        rtw = t_col.shape[0]
+        diff_ref[pl.ds(0, 1), :] = jnp.full((1, rtw), F32_MAX, jnp.float32)
+        for r_ in (1, 2, 5, 6, 7):
+            diff_ref[pl.ds(r_, 1), :] = jnp.zeros((1, rtw), jnp.float32)
+        diff_ref[pl.ds(3, 1), :] = jnp.full((1, rtw), -1.0, jnp.float32)
+        diff_ref[pl.ds(4, 1), :] = jnp.zeros((1, rtw), jnp.float32)
 
     # dead tiles (the sorted suffix) skip straight to the passthrough
     @pl.when(jnp.any(alive_st[:] > 0.0))
     def _():
         bounce(not staged_flat(num_blocks))
+        if diff_out:
+            # oracle rows: [t, u, v, idx, vis bits, decision bits, 0, 0]
+            # (ints as exact f32; consumed by the detached-diff chain)
+            diff_ref[pl.ds(0, 1), :] = t_lane[:]
+            diff_ref[pl.ds(1, 1), :] = uv_scr[0][:]
+            diff_ref[pl.ds(2, 1), :] = uv_scr[1][:]
+            diff_ref[pl.ds(3, 1), :] = _to_lane(
+                idx_col[:]).astype(jnp.float32)
+            diff_ref[pl.ds(4, 1), :] = vis_scr[:].astype(jnp.float32)
+            diff_ref[pl.ds(5, 1), :] = dec_scr[:].astype(jnp.float32)
 
     for r_, ref in enumerate((bo_x, bo_y, bo_z, bd_x, bd_y, bd_z,
                               tp_r, tp_g, tp_b, rd_r, rd_g, rd_b,
@@ -2593,6 +2649,7 @@ def bounce_step_tiles(
     dialect: str = "gpu",
     shadow_samples: int = 1,
     chunk: int = 0,
+    diff_out: bool = False,
 ):
     """One planned bounce over packed state tiles -> (state', rng').
 
@@ -2604,12 +2661,22 @@ def bounce_step_tiles(
     ``chunk``: sublane-chunk gating of the dense visits (see
     ``_make_traverse.visit_block_chunked``) — the compaction sort
     clusters slab-passing lanes, so post-sort tiles can skip whole
-    dead row-chunks; 0 = full-tile visits."""
+    dead row-chunks; 0 = full-tile visits.
+
+    ``diff_out``: additionally return a (nt*8, RAY_TILE) f32 oracle
+    block per tile — rows [winner t, u, v, global id, per-light
+    visibility bits, decision bits, 0, 0] (ints as exact f32) — the
+    detached residuals the differentiable integrator consumes instead
+    of launching standalone closest/occlusion kernels
+    (``integrator``'s fused-oracle mode)."""
     grid = scene.accel
     nt = state.shape[0] // _ST_ROWS
     ls = order.shape[1]
     if chunk and (RAY_TILE % chunk or chunk % 8 or dialect == "cpuonly"):
         chunk = 0
+    if diff_out:
+        assert dialect == "gpu" and not chunk, \
+            "diff oracle: gpu dialect, unchunked visits"
 
     (scalar_ops, scalar_specs, geom_ops, geom_specs,
      n_lights, n_objects) = _scene_rows(scene, grid)
@@ -2632,28 +2699,40 @@ def bounce_step_tiles(
     if chunk:
         scratch += [pltpu.VMEM((RAY_TILE, 1), jnp.float32),
                     pltpu.VMEM((RAY_TILE, 1), jnp.int32)]
-    st, rng = pl.pallas_call(
+    out_shapes = [
+        jax.ShapeDtypeStruct((nt * _ST_ROWS, RAY_TILE), jnp.float32),
+        jax.ShapeDtypeStruct((nt * 8, RAY_TILE), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec((_ST_ROWS, RAY_TILE), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if diff_out:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nt * 8, RAY_TILE), jnp.float32))
+        out_specs.append(pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        # uv capture + per-light visibility bits + decision bits
+        scratch += [pltpu.VMEM((1, RAY_TILE), jnp.float32),
+                    pltpu.VMEM((1, RAY_TILE), jnp.float32),
+                    pltpu.VMEM((1, RAY_TILE), jnp.int32),
+                    pltpu.VMEM((1, RAY_TILE), jnp.int32)]
+    outs = pl.pallas_call(
         partial(_bounce_step_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
                 bool(scene.diffuse_bounce), dialect, int(shadow_samples),
-                int(chunk),
+                int(chunk), bool(diff_out),
                 l, ls, n_lights, n_objects, mm_attrs_mode(grid, interpret),
                 mats_mm_mode(n_objects, interpret),
                 quarters_for(grid.tri_index.shape[1])),
-        out_shape=[
-            jax.ShapeDtypeStruct((nt * _ST_ROWS, RAY_TILE), jnp.float32),
-            jax.ShapeDtypeStruct((nt * 8, RAY_TILE), jnp.int32),
-        ],
+        out_shape=out_shapes,
         grid_spec=pl.GridSpec(
             grid=(nt,),
             in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((_ST_ROWS, RAY_TILE), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            out_specs=out_specs,
             scratch_shapes=scratch,
         ),
         interpret=interpret,
     )(*scalar_ops, *geom_ops, order, entry, state, rng_state)
-    return st, rng
+    return tuple(outs)
