@@ -1537,13 +1537,18 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
                    max_depth, diffuse_bounce, terminal, chunk,
                    dialect, jitter, shadow_samples,
                    num_blocks, num_supers, n_lights, n_objects, mm_attrs,
-                   mats_mm, nq,
+                   mats_mm, nq, binned_chunk,
                    xy_ref, cam_ref, lights_ref, mats_ref, off_ref,
                    tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref, alane_ref,
                    qsel_ref, matsq_ref, qaabb_ref, order_ref, entry_ref,
+                   cmeta_ref, cstream_ref,
                    r_out, g_out, b_out, *rest):
     col_scr = None
     spos_scr = None
+    binned = None
+    if binned_chunk:
+        *rest, cand_buf, cand_sem = rest
+        rest = tuple(rest)
     cpuonly = dialect == "cpuonly"
     if terminal:
         (t_col, idx_col, t_lane, nx_l, ny_l, nz_l, obj_l, blk_win,
@@ -1573,6 +1578,8 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
          hm_x, hm_y, hm_z) = rest
     rt = t_col.shape[0]
     row = jax.lax.rem(pl.program_id(0), 8)
+    if binned_chunk:
+        binned = (cstream_ref, cmeta_ref, cand_buf, cand_sem)
 
     primary_ray, (cx, cy, cz), (miss_r, miss_g, miss_b) = _make_primary(
         xy_ref, cam_ref, off_ref, jitter=jitter)
@@ -1592,7 +1599,10 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
     if cpuonly:
         has_work = jnp.bool_(True)
     else:
-        has_work = entry_ref[row, 0] < jnp.inf
+        if binned_chunk:
+            has_work = cmeta_ref[row, 1] > 0
+        else:
+            has_work = entry_ref[row, 0] < jnp.inf
 
         @pl.when(~has_work)
         def _():
@@ -1622,6 +1632,7 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
         chunk=chunk, col_scr=col_scr, dialect=dialect,
         qsel_ref=qsel_ref if mm_attrs else None,
         mm_f32_dot=mm_attrs == 2, qaabb_ref=qaabb_ref, nq=nq,
+        binned=binned,
     )
     shade = _make_shade(
         det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
@@ -1637,12 +1648,14 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
 
     if terminal:
         # --- V1 fast path: primary visibility + direct lighting only ---
+        depth0_mode = "binned" if binned_chunk else not emit_flat(num_blocks)
+
         def sample_body(s, _):
             d_l, _h = primary_ray(s)
             d_c = (_to_col(d_l[0]), _to_col(d_l[1]), _to_col(d_l[2]))
             o_l = (cx, cy, cz)
             traverse((cx, cy, cz), o_l, d_c, d_l,
-                     not emit_flat(num_blocks), jnp.full((1, rt), True))
+                     depth0_mode, jnp.full((1, rt), True))
             (lo_r, lo_g, lo_b), hit_l, _p = shade(o_l, d_l)
             hit_f = jnp.where(hit_l, 1.0, 0.0)
             acc_r[:] = acc_r[:] + jnp.clip(
@@ -1669,6 +1682,8 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
             matsq_ref=matsq_ref, mats_mm=mats_mm,
         )
 
+        depth0_mode = "binned" if binned_chunk else not emit_flat(num_blocks)
+
         def sample_body(s, _):
             d_l, h = primary_ray(s)
             bd_x[:], bd_y[:], bd_z[:] = d_l
@@ -1684,8 +1699,8 @@ def _render_kernel(spp, det_eps, tmin, shadow_eps, shadow_tmin,
             rd_b[:] = jnp.zeros((1, rt), jnp.float32)
             alive_st[:] = jnp.ones((1, rt), jnp.float32)
 
-            # depth 0: planned, shared-origin traversal
-            bounce(not emit_flat(num_blocks), (cx, cy, cz))
+            # depth 0: planned (or binned), shared-origin traversal
+            bounce(depth0_mode, (cx, cy, cz))
 
             def d_cond(depth):
                 return (depth < max_depth) & jnp.any(alive_st[:] > 0.0)
@@ -1939,9 +1954,16 @@ def render_tiles(
     dialect: str = "gpu",
     jitter: str = "wang",
     shadow_samples: int = 1,
+    cand_plan=None,
 ) -> Array:
     """Fused render of swizzled pixel tiles -> (N, 3) radiance SUM over
     spp samples (callers divide; matches ``accumulate_samples``).
+
+    ``cand_plan``: optional binned camera-candidate plan (``ops.binned``,
+    built for exactly this padded tile stream) — the depth-0 traversal
+    of every sample then streams per-tile triangle candidates instead
+    of walking blocks (the spp loop reuses the plan: it is
+    sample-independent by jitter inflation).
 
     ``dialect`` selects the reference semantics: "gpu"
     (``TraceRayIterative`` + ``IsInShadow``) or "cpuonly" (``TraceRay``
@@ -1957,6 +1979,16 @@ def render_tiles(
     order, entry = camera_tile_plan(cam, xs, ys, grid, RAY_TILE)
     order, entry = _pad_plan_rows(order, entry)
     ls = order.shape[1]
+
+    if cand_plan is not None:
+        assert cand_plan.meta.shape[0] == nt, (
+            "candidate plan built for a different tile stream")
+        cmeta, cstream = cand_plan.meta, cand_plan.stream
+        binned_chunk = int(cand_plan.chunk)
+    else:
+        cmeta = jnp.zeros((nt, 8), jnp.int32)
+        cstream = jnp.zeros((16, 128), jnp.float32)
+        binned_chunk = 0
 
     # rows [8i]=x, [8i+1]=y, rest zero-pad (Mosaic needs 8-row blocks)
     xy = jnp.concatenate(
@@ -1977,7 +2009,10 @@ def render_tiles(
         + [pl.BlockSpec((8, ls), lambda i: (i // 8, 0),
                         memory_space=pltpu.SMEM),
            pl.BlockSpec((8, ls), lambda i: (i // 8, 0),
-                        memory_space=pltpu.SMEM)]
+                        memory_space=pltpu.SMEM),
+           pl.BlockSpec((8, 8), lambda i: (i // 8, 0),
+                        memory_space=pltpu.SMEM),
+           pl.BlockSpec(memory_space=pl.ANY)]
     )
     out_row = lambda: pl.BlockSpec(
         (8, RAY_TILE), lambda i: (i // 8, 0), memory_space=pltpu.VMEM
@@ -2021,13 +2056,19 @@ def render_tiles(
             # sampled shadow origin xyz + the unoccluded-count lane
             scratch += [lane() for _ in range(4)]
 
+    if binned_chunk:
+        from .binned import CAND_ROWS
+
+        scratch += [pltpu.VMEM((2, CAND_ROWS, binned_chunk), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,))]
     outs = pl.pallas_call(
         partial(_render_kernel, spp, det_eps, tmin, shadow_eps, shadow_tmin,
                 max_depth, bool(scene.diffuse_bounce), terminal,
                 int(chunk) if not terminal else 0,
                 dialect, jitter, int(shadow_samples),
                 l, ls, n_lights, n_objects, mm_attrs_mode(grid, interpret),
-                mats_mm_mode(n_objects, interpret), quarters_for(b)),
+                mats_mm_mode(n_objects, interpret), quarters_for(b),
+                binned_chunk),
         out_shape=[jax.ShapeDtypeStruct((nt, RAY_TILE), jnp.float32)] * 3,
         grid_spec=pl.GridSpec(
             grid=(nt,),
@@ -2036,7 +2077,7 @@ def render_tiles(
             scratch_shapes=scratch,
         ),
         interpret=interpret,
-    )(xy, *scalar_ops, off_row, *geom_ops, order, entry)
+    )(xy, *scalar_ops, off_row, *geom_ops, order, entry, cmeta, cstream)
 
     return jnp.stack(
         [a.reshape(np_rays)[:n] for a in outs], axis=1

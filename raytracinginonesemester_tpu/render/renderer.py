@@ -253,9 +253,19 @@ def resolve_candidate_plan(scene: Scene, jitter_mode: str = "auto",
     env = os.environ.get("RT_BINNED", "auto")
     if env == "0":
         return None
-    wavefront, _cap = resolve_wavefront(scene, jitter_mode, spp_override)
-    if not wavefront:
-        return None  # binned is wired into the wavefront emit pass
+    # binned engages wherever the fused kernels do (wavefront emit OR
+    # the monolithic megakernel) — same dispatch criterion as
+    # _frame_accum, so the plan is never built for a scene that will
+    # render via the staged/XLA fallback
+    from ..ops.megakernel import megakernel_eligible
+
+    spp_eff = spp_override if spp_override is not None else scene.spp
+    jm = resolve_jitter_mode(scene, jitter_mode, spp_eff)
+    use_pallas = scene.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not (use_pallas and megakernel_eligible(scene, jm)):
+        return None
     if isinstance(scene.accel.tri, jax.core.Tracer):
         return None
     from ..ops.binned import build_camera_candidate_plan, plan_fingerprint
@@ -420,7 +430,7 @@ def _frame_accum(scene, xs, ys, spp, sample_offset, jitter_mode,
             )
         return render_tiles(
             scene, xs, ys, spp, sample_offset=sample_offset,
-            **mk_kw,
+            cand_plan=cand_plan, **mk_kw,
         )
     return accumulate_samples(
         scene, xs, ys, spp, jitter_mode, ray_tile,

@@ -130,6 +130,23 @@ def test_binned_staged_frames_image_identical():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("terminal", [True, False])
+def test_binned_monolithic_render_tiles(terminal):
+    """The monolithic megakernel's depth-0 binned walk (terminal V1 and
+    full-bounce V2) matches the block walk bit for bit."""
+    from raytracinginonesemester_tpu.ops.megakernel import render_tiles
+
+    scene = _two_frog_scene(width=128, height=64,
+                            diffuse_bounce=not terminal, max_bounces=3)
+    scene = dataclasses.replace(scene, terminal_only=terminal)
+    xs, ys, _ = _swizzled_grid(128, 64)
+    plan = _plan_for(scene, 128, 64)
+    a = np.asarray(render_tiles(scene, xs, ys, 2, interpret=True))
+    b = np.asarray(render_tiles(scene, xs, ys, 2, interpret=True,
+                                cand_plan=plan))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_plan_conservative_covers_brute_winners():
     """Every pixel's brute-force closest-hit winner must appear in its
     tile's candidate list (conservativeness — the property the walk's
