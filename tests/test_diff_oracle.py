@@ -151,6 +151,40 @@ def test_oracle_residuals_match_standalone_kernels():
     np.testing.assert_array_equal(vis_chain, vis_orc)
 
 
+def test_oracle_two_lights(monkeypatch):
+    """Multi-light visibility bits: gradients with 2 lights match the
+    standalone detached mode (each light's bit decoded independently)."""
+    scene = rt.load_scene(os.path.join(
+        os.path.dirname(__file__), "assets/scenes/gpu_diffuse.json"),
+        accel="blocks")
+    cam = Camera.create(
+        position=(0.0, -2.5, 1.2), look_at=(0.0, 0.0, 0.5), up=(0, 0, 1),
+        focal_length_mm=24.0, width=64, height=48,
+    )
+    scene = dataclasses.replace(
+        scene, camera=cam, differentiable=True, max_bounces=2, spp=1,
+        use_pallas=True)
+    assert int(scene.lights.intensity.shape[0]) == 2
+    params = extract_params(scene, keys=("albedo", "light_intensity"))
+    target = rt.render_scene(scene, jitter_mode="center", spp_override=1)
+    params = {k: v * 1.03 for k, v in params.items()}
+
+    monkeypatch.setattr(integrator, "_DIFF_ORACLE", False)
+    jax.clear_caches()
+    loss0, g0 = _vg(scene, params, target)
+    monkeypatch.setattr(integrator, "_DIFF_ORACLE", True)
+    jax.clear_caches()
+    loss1, g1 = _vg(scene, params, target)
+    np.testing.assert_allclose(np.asarray(loss0), np.asarray(loss1),
+                               rtol=2e-3, atol=1e-7)
+    for k in params:
+        a, b = np.asarray(g0[k]), np.asarray(g1[k])
+        assert np.abs(a).max() > 0
+        np.testing.assert_allclose(b, a, rtol=0,
+                                   atol=5e-2 * np.abs(a).max(),
+                                   err_msg=f"grad {k}")
+
+
 def test_oracle_matches_brute_gradients(monkeypatch):
     """End-to-end: oracle-mode gradients vs the brute-force O(R*T)
     differentiable intersector (the reference estimator) — the same
