@@ -96,6 +96,20 @@ def test_stage_preview(tmp_path):
     assert os.path.getsize(out) > 10000
 
 
+def test_show_headless_fallback(tmp_path):
+    """viz.show(): the interactive window analog of viz::show
+    (HW1/include/visualization.h:31) must fall back to the
+    stage-preview PNG on a headless machine."""
+    from raytracinginonesemester_tpu.scene.config import load_scene_config
+    from raytracinginonesemester_tpu.viz.show import show
+
+    scene_path = str(REPO / "tests/assets/scenes/gpu_spheres.json")
+    config = load_scene_config(scene_path)
+    out = str(tmp_path / "stage_show.png")
+    res = show(config, scene_path=scene_path, out_png=out, headless=True)
+    assert res == out and os.path.getsize(out) > 10000
+
+
 def test_cli_progressive_render(tmp_path):
     """--progressive chunked render matches the one-shot CLI render
     byte-for-byte (chunk=1 replays the kernel accumulation order) and
