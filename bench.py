@@ -280,13 +280,6 @@ def _bench_sharded(args):
     path (``_render_sharded_staged`` with compacted scheduling) at mesh
     size 1 — the dp x tp code path's fixed overhead, not its scaling."""
     import dataclasses
-    import os
-
-    # the binned candidate plan is not plumbed through shard_map yet
-    # (per-shard tile streams re-pad differently, so the global plan's
-    # meta rows would misalign); disable it on BOTH sides so the
-    # sharded-vs-unsharded comparison isolates the sharding overhead
-    os.environ["RT_BINNED"] = "0"
 
     import jax
     import jax.numpy as jnp

@@ -88,21 +88,39 @@ def shard_scene_blocks(scene: Scene, num_shards: int) -> Scene:
 def _render_sharded_fast(scene: Scene, mesh: Mesh, spp: int,
                          wavefront: bool, jitter_mode: str,
                          wavefront_cap: Optional[int] = None,
-                         sample_offset: Array | int = 0) -> Array:
+                         sample_offset: Array | int = 0,
+                         cand_plan=None) -> Array:
     """DP-shard the swizzled tile stream and run the single-chip fast
     path (megakernel, or sort-compacted wavefront when enabled) on each
-    shard.  Bit-identical to any other sharding by per-pixel seeding."""
-    from ..ops.megakernel import megakernel_kwargs, render_tiles
+    shard.  Bit-identical to any other sharding by per-pixel seeding.
+
+    ``cand_plan``: binned camera plan built for the ALIGNED global
+    stream (``resolve_candidate_plan(align_tiles=n_data)``) — meta rows
+    shard over "data" with the tiles, the chunk stream is replicated
+    (chunk starts are global indices)."""
+    from ..ops.megakernel import RAY_TILE, megakernel_kwargs, render_tiles
     from ..render.renderer import _swizzled_grid, _unswizzle
 
     w, h = scene.camera.width, scene.camera.height
     xs, ys, (hp, wp) = _swizzled_grid(w, h)
     n_swz = xs.shape[0]
     n_data = mesh.shape["data"]
-    padded = ((n_swz + n_data - 1) // n_data) * n_data
+    # pad so every shard is whole 8-tile groups: the per-shard kernels
+    # then re-pad nothing and the plan's meta rows stay tile-aligned
+    quantum = n_data * 8 * RAY_TILE
+    padded = ((n_swz + quantum - 1) // quantum) * quantum
     if padded != n_swz:
         xs = jnp.concatenate([xs, jnp.zeros(padded - n_swz, xs.dtype)])
         ys = jnp.concatenate([ys, jnp.zeros(padded - n_swz, ys.dtype)])
+    if cand_plan is not None:
+        assert cand_plan.meta.shape[0] == padded // RAY_TILE, (
+            "sharded candidate plan must be built with "
+            "align_tiles=n_data")
+        plan_meta, plan_stream = cand_plan.meta, cand_plan.stream
+        plan_static = (cand_plan.chunk, cand_plan.total_chunks)
+    else:
+        plan_meta = plan_stream = None
+        plan_static = None
 
     interpret = jax.default_backend() != "tpu"
     # one shared definition of the dialect kwargs — single-chip and
@@ -112,26 +130,52 @@ def _render_sharded_fast(scene: Scene, mesh: Mesh, spp: int,
     if bouncing and wavefront:
         from ..ops.wavefront import render_tiles_wavefront
 
-        def fast_fn(s, x, y):
+        def fast_fn(s, x, y, cp):
             return render_tiles_wavefront(
                 s, x, y, spp, sample_offset=sample_offset,
-                capacity_tiles=wavefront_cap, **mk_kw)
+                capacity_tiles=wavefront_cap, cand_plan=cp, **mk_kw)
     else:
-        def fast_fn(s, x, y):
+        def fast_fn(s, x, y, cp):
             return render_tiles(s, x, y, spp, sample_offset=sample_offset,
-                                **mk_kw)
+                                cand_plan=cp, **mk_kw)
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(jax.tree.map(lambda _: P(), scene), P("data"), P("data")),
-        out_specs=P("data"),
-        check_vma=False,
-    )
-    def shard_fn(scene_local: Scene, xs_l: Array, ys_l: Array) -> Array:
-        return fast_fn(scene_local, xs_l, ys_l)
+    def run(scene_local, xs_l, ys_l, meta_l, stream_l):
+        cp = None
+        if plan_static is not None:
+            from ..ops.binned import CandidatePlan
 
-    accum = shard_fn(scene, xs, ys)
+            cp = CandidatePlan(stream=stream_l, meta=meta_l,
+                               chunk=plan_static[0],
+                               total_chunks=plan_static[1])
+        return fast_fn(scene_local, xs_l, ys_l, cp)
+
+    if plan_static is None:
+        # keep operand arity minimal when binned is off
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P(), scene),
+                      P("data"), P("data")),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+        def shard_fn(scene_local, xs_l, ys_l):
+            return run(scene_local, xs_l, ys_l, None, None)
+
+        accum = shard_fn(scene, xs, ys)
+    else:
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P(), scene),
+                      P("data"), P("data"), P("data"), P()),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+        def shard_fn(scene_local, xs_l, ys_l, meta_l, stream_l):
+            return run(scene_local, xs_l, ys_l, meta_l, stream_l)
+
+        accum = shard_fn(scene, xs, ys, plan_meta, plan_stream)
     return _unswizzle(accum[:n_swz], w, h, hp, wp) / float(spp)
 
 
@@ -208,9 +252,14 @@ def render_scene_sharded(
                 wavefront_cap = int(cap_env)
         if wf_env == "auto" and wavefront_cap is None:
             wavefront = False  # monolithic beats un-staged wavefront
+        from ..render.renderer import resolve_candidate_plan
+
+        cand_plan = resolve_candidate_plan(
+            scene, jitter_mode, spp, align_tiles=mesh.shape["data"])
         return _render_sharded_fast(scene, mesh, spp, wavefront,
                                     jitter_mode, wavefront_cap,
-                                    sample_offset=sample_offset)
+                                    sample_offset=sample_offset,
+                                    cand_plan=cand_plan)
 
     # staged path: compaction + all_to_all rebalance engage under the
     # same RT_WAVEFRONT knob as the single-chip scheduler (read here,

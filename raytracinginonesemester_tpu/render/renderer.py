@@ -238,7 +238,8 @@ _CAND_PLAN_CACHE: dict = {}
 
 
 def resolve_candidate_plan(scene: Scene, jitter_mode: str = "auto",
-                           spp_override: Optional[int] = None):
+                           spp_override: Optional[int] = None,
+                           align_tiles: int = 1):
     """Binned camera-candidate plan for eligible scenes (``ops.binned``).
 
     Built host-side once per (scene, camera) and cached; the emit
@@ -274,12 +275,27 @@ def resolve_candidate_plan(scene: Scene, jitter_mode: str = "auto",
 
     chunk = int(os.environ.get("RT_BINNED_CHUNK", "256"))
     nq = quarters_for(int(scene.accel.tri_index.shape[1]))
-    fp = plan_fingerprint(scene.camera, scene.accel, RAY_TILE, nq, chunk)
+    fp = (plan_fingerprint(scene.camera, scene.accel, RAY_TILE, nq, chunk),
+          int(align_tiles))
     if fp in _CAND_PLAN_CACHE:
         return _CAND_PLAN_CACHE[fp]
+    import dataclasses
+
+    import jax.numpy as jnp
+
     w, h = int(scene.camera.width), int(scene.camera.height)
     xs, ys, _ = _swizzled_grid(w, h)
     xs_p, ys_p, _, _ = _pad_tiles(xs, ys)
+    # ``align_tiles``: pad the plan's tile axis so it splits evenly over
+    # a data mesh (the sharded fast path shards meta rows and replicates
+    # the chunk stream); padding tiles are all-sky (count 0) and their
+    # rays are the stream's own padding rays
+    nt = xs_p.shape[0] // RAY_TILE
+    extra = (-nt) % (align_tiles * 8)
+    if extra:
+        pad_rays = extra * RAY_TILE
+        xs_p = jnp.concatenate([xs_p, jnp.zeros(pad_rays, xs_p.dtype)])
+        ys_p = jnp.concatenate([ys_p, jnp.zeros(pad_rays, ys_p.dtype)])
     plan = build_camera_candidate_plan(
         scene.camera, xs_p, ys_p, scene.accel, RAY_TILE, nq=nq,
         chunk=chunk)
