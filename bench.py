@@ -264,7 +264,10 @@ def _bench_large(args):
         "closest_ms": round(dt_c * 1e3, 1),
         "closest_planwalk_ms": round(dt_pw * 1e3, 1),
         "frame_ms": round(dt_r * 1e3, 1),
-        "hbm_gb_per_s": round(bw, 1),
+        # scene-read bandwidths, each labeled by its kernel (round 4's
+        # unqualified hbm_gb_per_s was the plan-walk kernel's)
+        "blockmajor_hbm_gb_per_s": round(bw_bm, 1),
+        "planwalk_hbm_gb_per_s": round(bw, 1),
     }))
 
 

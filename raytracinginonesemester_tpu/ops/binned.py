@@ -220,9 +220,18 @@ def candidate_plan_stats(plan: CandidatePlan, ray_tile: int) -> dict:
 
 def plan_fingerprint(camera, grid, ray_tile: int, nq: int,
                      chunk: int) -> str:
-    """Cache key for a (scene, camera) plan: camera geometry + grid
-    AABBs (any geometry change that could shift candidacy moves some
-    block AABB; same scheme as the wavefront capacity cache)."""
+    """Cache key for a (scene, camera) plan: camera geometry + the
+    TRIANGLE PLANES themselves.
+
+    Unlike the wavefront capacity cache (perf-only), this cache is
+    correctness-bearing: the plan bakes v0/e1/e2 planes into its
+    stream, so a stale hit would silently render pre-edit geometry.
+    Block AABBs alone are not enough — a vertex strictly interior to
+    its block's hull can move without shifting any AABB — so small
+    grids hash every plane byte; large grids (>2M plane elements,
+    where the device fetch would dominate) hash the AABBs plus
+    per-plane float sums and a strided byte sample, which any
+    realistic edit perturbs (documented, non-adversarial contract)."""
     h = hashlib.sha1(repr((ray_tile, nq, chunk,
                            int(camera.width), int(camera.height))).encode())
     h.update(np.asarray(camera.center).tobytes())
@@ -230,4 +239,10 @@ def plan_fingerprint(camera, grid, ray_tile: int, nq: int,
     h.update(np.asarray(camera.pixel_delta_u).tobytes())
     h.update(np.asarray(camera.pixel_delta_v).tobytes())
     h.update(np.asarray(grid.aabb).tobytes())
+    tri = np.asarray(grid.tri)
+    if tri.size <= 2 ** 21:
+        h.update(tri.tobytes())
+    else:
+        h.update(np.float64(tri.sum(axis=(1, 2), dtype=np.float64)).tobytes())
+        h.update(tri.reshape(-1)[::97].tobytes())
     return h.hexdigest()[:16]

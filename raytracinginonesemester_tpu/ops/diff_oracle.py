@@ -41,7 +41,6 @@ __all__ = ["fused_bounce_oracle", "oracle_eligible"]
 
 def oracle_eligible(scene, model_axis) -> bool:
     """Static eligibility for the fused detached oracle."""
-    from .megakernel import MAX_OBJECTS
     from .pallas_kernels import fits_vmem
 
     if scene.accel is None or model_axis is not None:
@@ -51,7 +50,10 @@ def oracle_eligible(scene, model_axis) -> bool:
     if not fits_vmem(scene.accel):
         return False
     n_lights = int(scene.lights.intensity.shape[0])
-    return n_lights <= 30  # visibility bits in one int32
+    # visibility bits ride an exact-integer f32 oracle row: <= 24 bits
+    # (f32 mantissa); a zero-light scene has no visibility to capture
+    # and no speedup to gain — keep its plain detached path
+    return 1 <= n_lights <= 24
 
 
 def fused_bounce_oracle(origins: Array, dirs: Array, seeds: Array,

@@ -622,15 +622,19 @@ def trace_rays(
     use_pallas0 = scene.use_pallas
     if use_pallas0 is None:
         use_pallas0 = jax.default_backend() == "tpu"
+    # ONE unroll decision for the diff loop below AND the oracle gate:
+    # the oracle indexes residuals by a STATIC bounce k, which only the
+    # unrolled loop provides (a scan bounce would silently consume
+    # bounce 0's residuals at every depth)
+    if _DIFF_UNROLL_ENV:
+        unroll = _DIFF_UNROLL_ENV == "1"
+    else:
+        unroll = int(scene.max_bounces) <= 8
     oracle = None
     if differentiable0 and use_pallas0 and _DIFF_ORACLE:
-        if _DIFF_UNROLL_ENV:
-            will_unroll = _DIFF_UNROLL_ENV == "1"
-        else:
-            will_unroll = int(scene.max_bounces) <= 8
         from .diff_oracle import fused_bounce_oracle, oracle_eligible
 
-        if will_unroll and oracle_eligible(scene, model_axis):
+        if unroll and oracle_eligible(scene, model_axis):
             gpu0 = scene.dialect == "gpu"
             oracle = fused_bounce_oracle(
                 origins, dirs, rng_state, scene, int(scene.max_bounces),
@@ -663,10 +667,6 @@ def trace_rays(
         # 3 #8) — unrolled, XLA fuses across bounce boundaries and
         # residuals stay unstacked.  Deep loops keep the scan to bound
         # compile time/program size (RT_DIFF_UNROLL overrides).
-        if _DIFF_UNROLL_ENV:
-            unroll = _DIFF_UNROLL_ENV == "1"
-        else:
-            unroll = int(max_depth) <= 8
         if unroll:
             body = lambda c, first=False, k=0: bounce(c, None, first=first,
                                                       k=k)[0]
@@ -690,6 +690,11 @@ def trace_rays(
                 carry = body(carry, i == 0 and shared_origin0, i)
             radiance = carry[3]
         else:
+            # the scan body has no static bounce index — the oracle
+            # gate above shares this exact `unroll` flag, so an oracle
+            # can never reach here (it would pair every depth with
+            # bounce 0's residuals)
+            assert oracle is None
             (_, _, _, radiance, _, _), _ = jax.lax.scan(
                 bounce, init, None, length=max_depth
             )

@@ -1976,19 +1976,21 @@ def render_tiles(
     xs, ys, n, np_rays = _pad_tiles(xs, ys)
     nt = np_rays // RAY_TILE
 
-    order, entry = camera_tile_plan(cam, xs, ys, grid, RAY_TILE)
-    order, entry = _pad_plan_rows(order, entry)
-    ls = order.shape[1]
-
     if cand_plan is not None:
+        # binned depth-0: the superblock plan is dead (see emit_tiles)
+        order = jnp.zeros((nt, 8), jnp.int32)
+        entry = jnp.zeros((nt, 8), jnp.float32)
         assert cand_plan.meta.shape[0] == nt, (
             "candidate plan built for a different tile stream")
         cmeta, cstream = cand_plan.meta, cand_plan.stream
         binned_chunk = int(cand_plan.chunk)
     else:
+        order, entry = camera_tile_plan(cam, xs, ys, grid, RAY_TILE)
+        order, entry = _pad_plan_rows(order, entry)
         cmeta = jnp.zeros((nt, 8), jnp.int32)
         cstream = jnp.zeros((16, 128), jnp.float32)
         binned_chunk = 0
+    ls = order.shape[1]
 
     # rows [8i]=x, [8i+1]=y, rest zero-pad (Mosaic needs 8-row blocks)
     xy = jnp.concatenate(
@@ -2401,7 +2403,14 @@ def emit_tiles(
                   or not emit_flat(grid.num_blocks)):
         chunk = 0
 
-    if plan is None:
+    if cand_plan is not None:
+        # the binned walk replaces the superblock plan entirely (the
+        # kernel's depth-0 traversal and has_work both read the
+        # candidate meta) — dummies keep the operand arity without
+        # paying the hull/slab/argsort build per emit
+        order = jnp.zeros((nt, 8), jnp.int32)
+        entry = jnp.zeros((nt, 8), jnp.float32)
+    elif plan is None:
         order, entry = camera_tile_plan(scene.camera, xs, ys, grid, RAY_TILE)
         order, entry = _pad_plan_rows(order, entry)
     else:

@@ -488,8 +488,10 @@ def render_tiles_wavefront(
     # the camera plan is sample-independent: build it ONCE and hand it
     # to every emit (otherwise each sample re-traces the O(nt x LS)
     # hull/slab/argsort build — duplicated spp times in the unrolled
-    # graph, or left to while-loop LICM in the scan branch)
-    plan = _pad_plan_rows(
+    # graph, or left to while-loop LICM in the scan branch).  With a
+    # binned candidate plan the superblock plan is dead — emit builds
+    # dummies itself.
+    plan = None if cand_plan is not None else _pad_plan_rows(
         *camera_tile_plan(scene.camera, xs_p, ys_p, grid, RAY_TILE))
 
     kw = dict(interpret=interpret, det_eps=det_eps, tmin=tmin,
@@ -688,7 +690,7 @@ def render_tiles_wavefront_frames(
     lo = [jnp.min(grid.aabb[c]) for c in range(3)]
     span = [jnp.maximum(jnp.max(grid.aabb[3 + c]) - lo[c], 1e-20)
             for c in range(3)]
-    plan = _pad_plan_rows(
+    plan = None if cand_plan is not None else _pad_plan_rows(
         *camera_tile_plan(scene.camera, xs_p, ys_p, grid, RAY_TILE))
     kw = dict(interpret=interpret, det_eps=det_eps, tmin=tmin,
               shadow_eps=shadow_eps, shadow_tmin=shadow_tmin,

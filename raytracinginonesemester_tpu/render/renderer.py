@@ -232,9 +232,14 @@ def resolve_wavefront(scene: Scene, jitter_mode: str = "auto",
 
 
 # (scene, camera) fingerprint -> binned camera-candidate plan
-# (ops.binned.CandidatePlan).  Correctness never depends on this cache:
-# a missing plan only routes the emit kernel to the block walk.
+# (ops.binned.CandidatePlan).  A missing plan only routes the emit
+# kernel to the block walk; a STALE hit would be a correctness bug,
+# which is why the fingerprint hashes the triangle planes themselves
+# (ops.binned.plan_fingerprint).  Bounded: each plan pins a
+# multi-megabyte device stream, so a camera-animation loop must not
+# grow this without limit — oldest entries evict beyond the cap.
 _CAND_PLAN_CACHE: dict = {}
+_CAND_PLAN_CACHE_MAX = 8
 
 
 def resolve_candidate_plan(scene: Scene, jitter_mode: str = "auto",
@@ -278,7 +283,9 @@ def resolve_candidate_plan(scene: Scene, jitter_mode: str = "auto",
     fp = (plan_fingerprint(scene.camera, scene.accel, RAY_TILE, nq, chunk),
           int(align_tiles))
     if fp in _CAND_PLAN_CACHE:
-        return _CAND_PLAN_CACHE[fp]
+        plan = _CAND_PLAN_CACHE.pop(fp)
+        _CAND_PLAN_CACHE[fp] = plan  # LRU: refresh insertion order
+        return plan
     import dataclasses
 
     import jax.numpy as jnp
@@ -299,6 +306,8 @@ def resolve_candidate_plan(scene: Scene, jitter_mode: str = "auto",
     plan = build_camera_candidate_plan(
         scene.camera, xs_p, ys_p, scene.accel, RAY_TILE, nq=nq,
         chunk=chunk)
+    while len(_CAND_PLAN_CACHE) >= _CAND_PLAN_CACHE_MAX:
+        _CAND_PLAN_CACHE.pop(next(iter(_CAND_PLAN_CACHE)))
     _CAND_PLAN_CACHE[fp] = plan
     return plan
 
