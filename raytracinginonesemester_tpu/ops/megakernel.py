@@ -2328,17 +2328,18 @@ def _resume_kernel(det_eps, tmin, shadow_eps, shadow_tmin, max_depth,
     b_out[pl.ds(row, 1), :] = rd_b[:]
 
 
-def _bounce_scratch(cpuonly: bool = False):
-    lane = lambda: pltpu.VMEM((1, RAY_TILE), jnp.float32)
+def _bounce_scratch(cpuonly: bool = False, rt: int = None):
+    rt = RAY_TILE if rt is None else rt
+    lane = lambda: pltpu.VMEM((1, rt), jnp.float32)
     return (
-        [pltpu.VMEM((RAY_TILE, 1), jnp.float32),   # t_col
-         pltpu.VMEM((RAY_TILE, 1), jnp.int32),     # idx_col
+        [pltpu.VMEM((rt, 1), jnp.float32),   # t_col
+         pltpu.VMEM((rt, 1), jnp.int32),     # idx_col
          lane(), lane(), lane(), lane(),           # t_lane, normal xyz
-         pltpu.VMEM((1, RAY_TILE), jnp.int32),     # obj
-         pltpu.VMEM((1, RAY_TILE), jnp.int32),     # blk_win (deferred attrs)
+         pltpu.VMEM((1, rt), jnp.int32),     # obj
+         pltpu.VMEM((1, rt), jnp.int32),     # blk_win (deferred attrs)
          lane()]                                   # shadow blocked
         + [lane() for _ in range(6)]               # tp rgb, rd rgb
-        + [pltpu.VMEM((1, RAY_TILE), jnp.int32), lane()]  # rng, alive
+        + [pltpu.VMEM((1, rt), jnp.int32), lane()]  # rng, alive
         + [lane() for _ in range(9)]               # bo, bd, hm
         # cpuonly soft shadows: sampled light pos xyz + unoccluded count
         + ([lane() for _ in range(4)] if cpuonly else [])
@@ -2721,8 +2722,9 @@ def bounce_step_tiles(
     (``integrator``'s fused-oracle mode)."""
     grid = scene.accel
     nt = state.shape[0] // _ST_ROWS
+    rt = state.shape[1]  # tile width: RAY_TILE, or the narrower ladder
     ls = order.shape[1]
-    if chunk and (RAY_TILE % chunk or chunk % 8 or dialect == "cpuonly"):
+    if chunk and (rt % chunk or chunk % 8 or dialect == "cpuonly"):
         chunk = 0
     if diff_out:
         assert dialect == "gpu" and not chunk, \
@@ -2739,36 +2741,36 @@ def bounce_step_tiles(
                         memory_space=pltpu.SMEM),
            pl.BlockSpec((8, ls), lambda i: (i // 8, 0),
                         memory_space=pltpu.SMEM),
-           pl.BlockSpec((_ST_ROWS, RAY_TILE), lambda i: (i, 0),
+           pl.BlockSpec((_ST_ROWS, rt), lambda i: (i, 0),
                         memory_space=pltpu.VMEM),
-           pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
+           pl.BlockSpec((8, rt), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)]
     )
 
-    scratch = _bounce_scratch(dialect == "cpuonly")
+    scratch = _bounce_scratch(dialect == "cpuonly", rt=rt)
     if chunk:
-        scratch += [pltpu.VMEM((RAY_TILE, 1), jnp.float32),
-                    pltpu.VMEM((RAY_TILE, 1), jnp.int32)]
+        scratch += [pltpu.VMEM((rt, 1), jnp.float32),
+                    pltpu.VMEM((rt, 1), jnp.int32)]
     out_shapes = [
-        jax.ShapeDtypeStruct((nt * _ST_ROWS, RAY_TILE), jnp.float32),
-        jax.ShapeDtypeStruct((nt * 8, RAY_TILE), jnp.int32),
+        jax.ShapeDtypeStruct((nt * _ST_ROWS, rt), jnp.float32),
+        jax.ShapeDtypeStruct((nt * 8, rt), jnp.int32),
     ]
     out_specs = [
-        pl.BlockSpec((_ST_ROWS, RAY_TILE), lambda i: (i, 0),
+        pl.BlockSpec((_ST_ROWS, rt), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
+        pl.BlockSpec((8, rt), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
     if diff_out:
         out_shapes.append(
-            jax.ShapeDtypeStruct((nt * 8, RAY_TILE), jnp.float32))
-        out_specs.append(pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
+            jax.ShapeDtypeStruct((nt * 8, rt), jnp.float32))
+        out_specs.append(pl.BlockSpec((8, rt), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
         # uv capture + per-light visibility bits + decision bits
-        scratch += [pltpu.VMEM((1, RAY_TILE), jnp.float32),
-                    pltpu.VMEM((1, RAY_TILE), jnp.float32),
-                    pltpu.VMEM((1, RAY_TILE), jnp.int32),
-                    pltpu.VMEM((1, RAY_TILE), jnp.int32)]
+        scratch += [pltpu.VMEM((1, rt), jnp.float32),
+                    pltpu.VMEM((1, rt), jnp.float32),
+                    pltpu.VMEM((1, rt), jnp.int32),
+                    pltpu.VMEM((1, rt), jnp.int32)]
     outs = pl.pallas_call(
         partial(_bounce_step_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
                 bool(scene.diffuse_bounce), dialect, int(shadow_samples),

@@ -85,6 +85,30 @@ _STAGED_CHUNK = int(_os.environ.get("RT_STAGED_CHUNK", "256"))
 # costs are paid once per group.  1 disables merging.
 _SAMPLE_GROUP = int(_os.environ.get("RT_SAMPLE_GROUP", "8"))
 
+# Tile width for the staged LADDER kernels (bounces 1+): narrower
+# tiles have tighter (octant, morton) hulls after the compaction sort
+# — fewer firing blocks per ray — at the cost of 512/width more
+# per-tile fixed work (scan iterations, grid steps).  512 (= RAY_TILE)
+# disables re-tiling; 128 is the round-4 verdict's re-measurement
+# request (task #5a — the round-2-era "128-ray experiments lost"
+# refutation predates sorted-tile chunking).  The re-tile preserves
+# the flat (tile-major, lane) ray order, so pixel keys and the
+# alive-prefix structure are untouched; per-sample math is width-
+# agnostic (bit-identical in exact semantics, the usual last-ulp
+# static-shape caveat on TPU).
+_LADDER_WIDTH = int(_os.environ.get("RT_LADDER_WIDTH", "512"))
+
+
+def _retile(rows_arr, rows_per_tile, new_width):
+    """(nt*rows, W) -> (nt*f*rows, new_width) splitting each tile into
+    f = W // new_width subtiles; flat ray order is preserved."""
+    w = rows_arr.shape[1]
+    f = w // new_width
+    nt = rows_arr.shape[0] // rows_per_tile
+    return (rows_arr.reshape(nt, rows_per_tile, f, new_width)
+            .transpose(0, 2, 1, 3)
+            .reshape(nt * f * rows_per_tile, new_width))
+
 
 def _sort_key(bo, bd, alive, lo, span):
     """(direction octant << 24) | 24-bit origin morton; dead rays get
@@ -125,14 +149,15 @@ def sort_bounce_state(state: Array, rng_state: Array, pix: Array,
     sort for nothing.
     """
     nt = state.shape[0] // _ST_ROWS
-    nr = nt * RAY_TILE
-    stv = state.reshape(nt, _ST_ROWS, RAY_TILE)
+    rt = state.shape[1]  # RAY_TILE, or the narrower ladder width
+    nr = nt * rt
+    stv = state.reshape(nt, _ST_ROWS, rt)
 
     def plane(k):
         return stv[:, k, :].reshape(nr)
 
     planes = [plane(k) for k in range(_ST_LIVE_ROWS)]
-    rng_flat = rng_state.reshape(nt, 8, RAY_TILE)[:, 0, :].reshape(nr)
+    rng_flat = rng_state.reshape(nt, 8, rt)[:, 0, :].reshape(nr)
     key = _sort_key(planes[0:3], planes[3:6],
                     planes[_ST_ALIVE_ROW] > 0.0, lo, span)
 
@@ -145,12 +170,12 @@ def sort_bounce_state(state: Array, rng_state: Array, pix: Array,
     rows = planes_s + (
         [jnp.zeros(nr, jnp.float32)] * (_ST_ROWS - _ST_LIVE_ROWS))
     st_s = jnp.stack(
-        [r.reshape(nt, RAY_TILE) for r in rows], axis=1
-    ).reshape(nt * _ST_ROWS, RAY_TILE)
+        [r.reshape(nt, rt) for r in rows], axis=1
+    ).reshape(nt * _ST_ROWS, rt)
     rng_rows = jnp.concatenate(
-        [rng_s.reshape(nt, 1, RAY_TILE),
-         jnp.zeros((nt, 7, RAY_TILE), jnp.int32)], axis=1
-    ).reshape(nt * 8, RAY_TILE)
+        [rng_s.reshape(nt, 1, rt),
+         jnp.zeros((nt, 7, rt), jnp.int32)], axis=1
+    ).reshape(nt * 8, rt)
     return st_s, rng_rows, pix_s
 
 
@@ -169,7 +194,8 @@ def bounce_tile_plan(state: Array, grid):
     Returns (order, entry) padded via ``_pad_plan_rows``.
     """
     nt = state.shape[0] // _ST_ROWS
-    stv = state.reshape(nt, _ST_ROWS, RAY_TILE)
+    rt = state.shape[1]
+    stv = state.reshape(nt, _ST_ROWS, rt)
     alive = stv[:, _ST_ALIVE_ROW] > 0.0  # (nt, RT)
     big = np.float32(3e38)
 
@@ -241,6 +267,27 @@ def _staged_ladder(scene, h_st, h_rng, h_pix, cap, lo, span,
     flat = staged_flat(grid.num_blocks)
     ls = -(-grid.num_blocks // 8)  # accel.SUPER
 
+    # optional narrow-ladder re-tile (RT_LADDER_WIDTH; see _retile):
+    # the flat ray order is preserved, so pixel keys and the sorted
+    # alive-prefix structure carry over unchanged
+    lw = _LADDER_WIDTH
+    retiled = (lw < RAY_TILE and lw >= 128 and RAY_TILE % lw == 0)
+    if retiled:
+        f = RAY_TILE // lw
+        h_st = _retile(h_st, _ST_ROWS, lw)
+        h_rng = _retile(h_rng, 8, lw)
+        cap = cap * f
+    else:
+        lw = RAY_TILE
+
+    def finish(h_st, h_pix):
+        if retiled:
+            nt0 = cap // f
+            h_st = (h_st.reshape(nt0, f, _ST_ROWS, lw)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(nt0 * _ST_ROWS, RAY_TILE))
+        return h_st, h_pix
+
     def one_bounce(h_st, h_rng, h_pix, c):
         if flat:
             c8 = -(-c // 8) * 8
@@ -256,7 +303,7 @@ def _staged_ladder(scene, h_st, h_rng, h_pix, cap, lo, span,
     def while_bounces(h_st, h_rng, h_pix, c, d0):
         def cond(carry):
             d, st, _, _ = carry
-            a = st.reshape(c, _ST_ROWS, RAY_TILE)[:, _ST_ALIVE_ROW]
+            a = st.reshape(c, _ST_ROWS, lw)[:, _ST_ALIVE_ROW]
             return (d < mb) & jnp.any(a > 0.0)
 
         def body(carry):
@@ -270,18 +317,18 @@ def _staged_ladder(scene, h_st, h_rng, h_pix, cap, lo, span,
 
     cap2 = max(8, cap // 8)
     if mb <= 2 or cap2 >= cap:
-        return while_bounces(h_st, h_rng, h_pix, cap, 1)
+        return finish(*while_bounces(h_st, h_rng, h_pix, cap, 1))
 
     # bounce depth 1 at the full capacity (guarded: the gathered
     # wavefront can be entirely dead)
-    a0 = h_st.reshape(cap, _ST_ROWS, RAY_TILE)[:, _ST_ALIVE_ROW]
+    a0 = h_st.reshape(cap, _ST_ROWS, lw)[:, _ST_ALIVE_ROW]
     h_st, h_rng, h_pix = jax.lax.cond(
         jnp.any(a0 > 0.0),
         lambda op: one_bounce(*op, cap),
         lambda op: op,
         (h_st, h_rng, h_pix))
 
-    stv = h_st.reshape(cap, _ST_ROWS, RAY_TILE)
+    stv = h_st.reshape(cap, _ST_ROWS, lw)
     overflow2 = jnp.any(stv[cap2:, _ST_ALIVE_ROW] > 0.0)
 
     def full_width(op):
@@ -292,12 +339,12 @@ def _staged_ladder(scene, h_st, h_rng, h_pix, cap, lo, span,
         h_st, h_rng, h_pix = op
         p_st, p_pix = while_bounces(
             h_st[:cap2 * _ST_ROWS], h_rng[:cap2 * 8],
-            h_pix[:cap2 * RAY_TILE], cap2, 2)
+            h_pix[:cap2 * lw], cap2, 2)
         return (jnp.concatenate([p_st, h_st[cap2 * _ST_ROWS:]]),
-                jnp.concatenate([p_pix, h_pix[cap2 * RAY_TILE:]]))
+                jnp.concatenate([p_pix, h_pix[cap2 * lw:]]))
 
-    return jax.lax.cond(overflow2, full_width, small_width,
-                        (h_st, h_rng, h_pix))
+    return finish(*jax.lax.cond(overflow2, full_width, small_width,
+                                (h_st, h_rng, h_pix)))
 
 
 def _render_group(scene, xs_p, ys_p, plan, lo, span, cap, group, s0,

@@ -147,6 +147,27 @@ def test_binned_monolithic_render_tiles(terminal):
     np.testing.assert_array_equal(a, b)
 
 
+def test_narrow_ladder_width_bit_identical(monkeypatch):
+    """RT_LADDER_WIDTH=128: re-tiled staged-ladder bounces produce the
+    identical image (flat ray order preserved; per-sample math is
+    width-agnostic in exact semantics)."""
+    import jax
+
+    import raytracinginonesemester_tpu.ops.wavefront as wf
+
+    scene = _two_frog_scene(width=128, height=64, diffuse_bounce=True,
+                            max_bounces=4)
+    scene = dataclasses.replace(scene, terminal_only=False)
+    xs, ys, _ = _swizzled_grid(128, 64)
+    a = np.asarray(render_tiles_wavefront(
+        scene, xs, ys, 2, interpret=True, capacity_tiles=8))
+    monkeypatch.setattr(wf, "_LADDER_WIDTH", 128)
+    jax.clear_caches()
+    b = np.asarray(render_tiles_wavefront(
+        scene, xs, ys, 2, interpret=True, capacity_tiles=8))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_plan_conservative_covers_brute_winners():
     """Every pixel's brute-force closest-hit winner must appear in its
     tile's candidate list (conservativeness — the property the walk's
