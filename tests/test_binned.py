@@ -147,6 +147,40 @@ def test_binned_monolithic_render_tiles(terminal):
     np.testing.assert_array_equal(a, b)
 
 
+def test_binned_with_quarter_gating(monkeypatch):
+    """nq > 1: the binned walk's per-candidate home QUARTER rows must
+    feed the deferred attr resolve correctly when the triangle-axis
+    gate splits 512-lane blocks into 128-lane quarter rows."""
+    import jax
+    import jax.numpy as jnp
+
+    import raytracinginonesemester_tpu.ops.megakernel as mk
+    from raytracinginonesemester_tpu.ops.accel import build_block_grid
+
+    scene = _two_frog_scene(width=64, height=32, diffuse_bounce=True,
+                            max_bounces=3)
+    scene = dataclasses.replace(scene, terminal_only=False)
+    g = scene.geometry
+    t = int(g.padded_triangles)
+    pad = (-t) % 512
+    verts = jnp.concatenate(
+        [g.vertices, jnp.broadcast_to(g.vertices[:1], (pad, 3, 3))]) \
+        if pad else g.vertices
+    norms = jnp.concatenate(
+        [g.normals, jnp.zeros((pad, 3, 3))]) if pad else g.normals
+    objs = jnp.concatenate(
+        [g.obj_id, jnp.zeros(pad, jnp.int32)]) if pad else g.obj_id
+    grid512 = build_block_grid(verts, jnp.asarray(g.num_triangles),
+                               normals=norms, obj_ids=objs,
+                               block_size=512)
+    scene = dataclasses.replace(scene, accel=grid512)
+    monkeypatch.setattr(mk, "_QUARTER_LANES", 128)
+    jax.clear_caches()
+    assert mk.quarters_for(512) == 4
+    sv0, sv1, rv0, rv1, _ = _emit_pair(scene, 64, 32, 128)
+    _assert_emit_equivalent(sv0, sv1, rv0, rv1)
+
+
 def test_narrow_ladder_width_bit_identical(monkeypatch):
     """RT_LADDER_WIDTH=128: re-tiled staged-ladder bounces produce the
     identical image (flat ray order preserved; per-sample math is
