@@ -103,8 +103,26 @@ def _bench_backward(args):
 
     opt_state = opt.init(params)
 
+    # binned depth-0 for the fused oracle (round 5): the plan is built
+    # from the scene with the INITIAL (perturbed) params applied, with
+    # slack covering the adam motion of one dispatch; the oracle
+    # regathers plane values from the rebuilt grid every step on-device
+    import contextlib
+
+    cand_ctx = contextlib.nullcontext()
+    if not args.grad_brute and os.environ.get("RT_DIFF_BINNED", "1") == "1":
+        from raytracinginonesemester_tpu.diff.inverse import (
+            camera_candidate_context)
+
+        t0 = time.time()
+        cand_ctx = camera_candidate_context(
+            apply_params(scene, params), slack=0.05)
+        print(f"binned grad plan: {time.time() - t0:.2f}s (slack 0.05)",
+              file=sys.stderr)
+
     def run(i):
-        p, st, chk = train_k(params, opt_state, jnp.int32(i))
+        with cand_ctx:
+            p, st, chk = train_k(params, opt_state, jnp.int32(i))
         # sync by scalar fetch (block_until_ready lies over the tunnel)
         return float(jax.device_get(chk))
 

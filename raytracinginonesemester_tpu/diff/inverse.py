@@ -29,6 +29,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 from ..render.renderer import render_scene
@@ -36,6 +37,7 @@ from ..scene.build import Scene
 
 __all__ = [
     "apply_params",
+    "camera_candidate_context",
     "extract_params",
     "render_loss",
     "make_train_step",
@@ -175,6 +177,44 @@ def render_loss(
         ray_tile=0 if ray_tile is None else ray_tile,
     )
     return jnp.mean((img - target) ** 2)
+
+
+def camera_candidate_context(scene: Scene, slack: float = 0.05,
+                             chunk: int = 256):
+    """Binned depth-0 context for detached-diff training loops.
+
+    Builds the static binned camera-candidate plan (``ops.binned``) for
+    this CONCRETE scene host-side and returns an
+    ``integrator.diff_candidate_plan`` context manager; enter it around
+    tracing/running the train step and the fused oracle's depth-0
+    bounce streams per-tile triangle candidates instead of dense-testing
+    every block (~15x fewer pairs on the grad-bench scene).
+
+    Contract: the candidate SET is conservative while every vertex
+    stays within ``slack`` of its position in ``scene`` — rebuild this
+    context when the optimizer has moved vertices further (the plan's
+    plane values and block homes are refreshed on-device every step
+    automatically; only the SET is frozen).  Build from the scene with
+    the INITIAL parameters applied (``apply_params``) so slack needs to
+    cover training motion only, not the initial perturbation.
+    """
+    from ..ops.binned import (build_camera_candidate_plan,
+                              plan_candidate_gids)
+    from ..ops.integrator import diff_candidate_plan
+    from ..ops.megakernel import _pad_tiles, quarters_for
+    from ..ops.pallas_kernels import RAY_TILE
+    from ..render.renderer import _swizzled_grid
+
+    assert scene.accel is not None, "binned context needs a block grid"
+    w, h = int(scene.camera.width), int(scene.camera.height)
+    xs, ys, _ = _swizzled_grid(w, h)
+    xs_p, ys_p, _, _ = _pad_tiles(xs, ys)
+    nq = quarters_for(int(scene.accel.tri_index.shape[1]))
+    plan = build_camera_candidate_plan(
+        scene.camera, xs_p, ys_p, scene.accel, RAY_TILE, nq=nq,
+        chunk=chunk, slack=slack)
+    return diff_candidate_plan(np.asarray(plan.meta),
+                               plan_candidate_gids(plan), plan.chunk)
 
 
 def make_train_step(optimizer, jitter_mode: str = "center",

@@ -50,7 +50,7 @@ import numpy as np
 from jax import Array
 
 __all__ = ["CandidatePlan", "CAND_ROWS", "build_camera_candidate_plan",
-           "candidate_plan_stats"]
+           "candidate_plan_stats", "plan_candidate_gids", "refresh_stream"]
 
 # rows per candidate chunk window: 9 triangle planes, global ids (as
 # exact f32 integers), home quarter row, 5 zero rows of sublane padding
@@ -130,7 +130,8 @@ def _hull_box_pass(d_lo, d_hi, c, boxes_lo, boxes_hi):
 
 def build_camera_candidate_plan(camera, xs_p, ys_p, grid, ray_tile: int,
                                 nq: int = 1,
-                                chunk: int = 256) -> CandidatePlan:
+                                chunk: int = 256,
+                                slack: float = 0.0) -> CandidatePlan:
     """Build the binned camera plan on the host (concrete arrays only).
 
     ``xs_p``/``ys_p`` must be the tile-padded swizzled pixel stream the
@@ -138,6 +139,13 @@ def build_camera_candidate_plan(camera, xs_p, ys_p, grid, ray_tile: int,
     plan covers the padding tiles' real rays too.  ``nq`` is the static
     quarter count of the kernel build (``megakernel.quarters_for``) —
     home rows are quarter rows, == block rows at nq == 1.
+
+    ``slack``: absolute inflation of every triangle (and block) AABB.
+    The candidate SET then stays conservative for any later geometry
+    whose vertices each move less than ``slack`` from the build-time
+    positions — the contract behind ``refresh_stream`` (inverse
+    rendering optimizes vertices between plan rebuilds, exactly like a
+    BVH refit-vs-rebuild cadence).  0.0 = static geometry.
     """
     xs = np.asarray(xs_p)
     ys = np.asarray(ys_p)
@@ -154,15 +162,17 @@ def build_camera_candidate_plan(camera, xs_p, ys_p, grid, ray_tile: int,
     v0 = flat_tri[0:3].T
     p1 = v0 + flat_tri[3:6].T
     p2 = v0 + flat_tri[6:9].T
-    tlo = np.minimum(np.minimum(v0, p1), p2)  # (T, 3)
-    thi = np.maximum(np.maximum(v0, p1), p2)
+    tlo = np.minimum(np.minimum(v0, p1), p2) - np.float32(slack)  # (T, 3)
+    thi = np.maximum(np.maximum(v0, p1), p2) + np.float32(slack)
     ids_flat = np.asarray(grid.tri_index).reshape(t_all)
     valid = ids_flat >= 0
 
     # block-level prefilter: only tiles that can see SOME block test
     # triangles (the sky majority of a frame skips the (nt, T) pass)
     baabb = np.asarray(grid.aabb, np.float32)
-    blk_pass = _hull_box_pass(d_lo, d_hi, c, baabb[:3].T, baabb[3:].T)
+    blk_pass = _hull_box_pass(d_lo, d_hi, c,
+                              baabb[:3].T - np.float32(slack),
+                              baabb[3:].T + np.float32(slack))
     blk_pass &= (baabb[0] <= baabb[3])[None, :]
     active = np.where(blk_pass.any(1))[0]
 
@@ -216,6 +226,56 @@ def candidate_plan_stats(plan: CandidatePlan, ray_tile: int) -> dict:
         padded_pairs=int(counts.sum()) * plan.chunk * ray_tile,
         stream_bytes=int(plan.stream.size) * 4,
     )
+
+
+def plan_candidate_gids(plan: CandidatePlan) -> np.ndarray:
+    """Static per-slot GLOBAL triangle ids of a plan, (total_chunks,
+    chunk) int32, -1 for padding lanes (host numpy — the ids are the
+    geometry-independent part of the plan; see ``refresh_stream``)."""
+    rows = np.asarray(plan.stream).reshape(plan.total_chunks, CAND_ROWS,
+                                           plan.chunk)
+    return np.rint(rows[:, 9]).astype(np.int32)
+
+
+def refresh_stream(gids, grid, nq: int) -> Array:
+    """Rebuild a plan's chunk stream against the CURRENT grid (jit-safe).
+
+    The candidate ID SET of a slack-inflated plan stays conservative
+    while every vertex moves less than ``slack`` (see
+    ``build_camera_candidate_plan``); what goes stale per optimization
+    step is (a) the baked v0/e1/e2 plane VALUES and (b) each
+    candidate's home quarter row (``apply_params`` rebuilds the block
+    grid from the new vertices, which re-permutes triangles).  This
+    regathers both from ``grid`` by global id — a ~MB-scale gather, so
+    inverse-rendering steps pay microseconds instead of a host rebuild.
+
+    ``gids``: (TC, C) int32 global ids (``plan_candidate_gids``), -1
+    padding.  Returns the (TC * CAND_ROWS, C) f32 stream.
+    """
+    l, b = grid.tri_index.shape
+    qs = b // nq
+    tc, c = gids.shape
+    gids = jnp.asarray(gids, jnp.int32)
+    flat_ids = grid.tri_index.reshape(l * b)
+    # inverse permutation global id -> current flat grid position
+    # (padding slots of the grid scatter out of range and are dropped)
+    t_hi = l * b  # global ids are < l*b by construction
+    inv = jnp.zeros((t_hi + 1,), jnp.int32).at[
+        jnp.where(flat_ids >= 0, flat_ids, t_hi)
+    ].set(jnp.arange(l * b, dtype=jnp.int32), mode="drop")[:t_hi]
+    live = gids >= 0
+    pos = inv[jnp.clip(gids, 0, t_hi - 1)]            # (TC, C)
+    planes = grid.tri.reshape(9, l * b)[:, pos]       # (9, TC, C)
+    planes = jnp.where(live[None], planes, 0.0)
+    id_row = jnp.where(live, gids, -1).astype(jnp.float32)
+    home_row = jnp.where(live, pos // qs, 0).astype(jnp.float32)
+    rows = jnp.concatenate([
+        planes.transpose(1, 0, 2),                    # (TC, 9, C)
+        id_row[:, None, :],
+        home_row[:, None, :],
+        jnp.zeros((tc, CAND_ROWS - 11, c), jnp.float32),
+    ], axis=1)
+    return rows.reshape(tc * CAND_ROWS, c)
 
 
 def plan_fingerprint(camera, grid, ray_tile: int, nq: int,

@@ -59,12 +59,20 @@ def oracle_eligible(scene, model_axis) -> bool:
 def fused_bounce_oracle(origins: Array, dirs: Array, seeds: Array,
                         scene, max_depth: int, *, interpret: bool,
                         det_eps: float, tmin: float, shadow_eps: float,
-                        shadow_tmin: float):
+                        shadow_tmin: float, cand=None):
     """Run ``max_depth`` fused bounce kernels on the wavefront and
     return per-bounce detached residual dicts (lists of (R,) arrays):
     ``t, u, v`` f32; ``idx`` int32 (-1 miss); ``vis`` int32 per-light
     unoccluded bits; ``dec`` int32 decision bits (1 found, 2 diffuse,
-    4 mirror, 8 alive-after).  All outputs are stop_gradient'd."""
+    4 mirror, 8 alive-after).  All outputs are stop_gradient'd.
+
+    ``cand``: optional ``(meta, stream, chunk)`` binned camera-candidate
+    plan (``ops.binned``; stream refreshed against the CURRENT grid via
+    ``refresh_stream``) — bounce 0 then dense-tests each tile's own
+    candidate chunks instead of every block (~15x fewer pairs on the
+    grad-bench scene).  Bounces >= 1 keep the block walk (their
+    wavefronts are not the camera bin).  The plan must cover this exact
+    padded tile stream (meta rows == nt)."""
     sg = jax.lax.stop_gradient
     origins = sg(origins)
     dirs = sg(dirs)
@@ -118,8 +126,14 @@ def fused_bounce_oracle(origins: Array, dirs: Array, seeds: Array,
             from .wavefront import bounce_tile_plan
 
             order, entry = bounce_tile_plan(st, grid)
+        ckw = {}
+        if _k == 0 and cand is not None:
+            meta, stream, cchunk = cand
+            ckw = dict(cand_meta=jax.lax.stop_gradient(meta),
+                       cand_stream=jax.lax.stop_gradient(stream),
+                       cand_chunk=int(cchunk))
         st, rng, diff = bounce_step_tiles(scene, st, rng, order, entry,
-                                          **kw)
+                                          **kw, **ckw)
         dv = sg(diff).reshape(nt, 8, RAY_TILE)
         take = lambda row: dv[:, row].reshape(rp)[:r]
         out["t"].append(take(0))

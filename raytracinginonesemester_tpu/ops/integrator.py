@@ -63,6 +63,36 @@ _DIFF_UNROLL_ENV = _os.environ.get("RT_DIFF_UNROLL", "")
 # standalone launches per step (42.7 of 84.1 ms at 960x540 bounces-2,
 # round-4 profile).  "0" keeps the standalone detached kernels.
 _DIFF_ORACLE = _os.environ.get("RT_DIFF_ORACLE", "1") == "1"
+
+# Binned camera-candidate plan for the fused oracle's depth-0 bounce
+# (ops.binned): set by callers (diff/inverse.py, bench --grad) around
+# tracing via ``diff_candidate_plan`` — a context, not a function arg,
+# so the public render chain's signatures stay unchanged.  The holder
+# carries the STATIC part only (meta rows + global candidate ids);
+# trace_rays regathers the plane stream from the CURRENT grid inside
+# the trace (``binned.refresh_stream``), so vertex-optimization steps
+# never see stale geometry.  The candidate SET stays conservative
+# while every vertex moves less than the plan's build slack — rebuild
+# the plan on that cadence (refit-vs-rebuild contract).
+_DIFF_CAND = [None]
+
+
+class diff_candidate_plan:
+    """Context manager: route the detached-diff oracle's depth-0 bounce
+    through a binned candidate plan.  ``meta``/``gids`` are the static
+    plan parts (``binned`` build + ``plan_candidate_gids``); ``chunk``
+    the candidate lane width."""
+
+    def __init__(self, meta, gids, chunk: int):
+        self._v = (meta, gids, int(chunk))
+
+    def __enter__(self):
+        _DIFF_CAND.append(self._v)
+        return self
+
+    def __exit__(self, *exc):
+        _DIFF_CAND.pop()
+        return False
 # Fused in-kernel shadow visibility for detached-diff scenes (see
 # make_bounce_step).  Default OFF — re-measured after the round-4
 # backward cleanup and it still loses (87.4 -> 129.7 ms/step on the
@@ -640,11 +670,27 @@ def trace_rays(
 
         if unroll and oracle_eligible(scene, model_axis):
             gpu0 = scene.dialect == "gpu"
+            cand = None
+            if _DIFF_CAND[-1] is not None:
+                from .megakernel import RAY_TILE, quarters_for
+                from .binned import refresh_stream
+
+                meta, gids, cchunk = _DIFF_CAND[-1]
+                r0 = origins.shape[0]
+                nt0 = (r0 + (-r0) % (8 * RAY_TILE)) // RAY_TILE
+                # engage only for the ray stream the plan was built for
+                # (other renders traced under the context keep the
+                # block walk rather than asserting)
+                if int(meta.shape[0]) == nt0:
+                    nqv = quarters_for(int(scene.accel.tri_index.shape[1]))
+                    stream = refresh_stream(gids, scene.accel, nqv)
+                    cand = (jnp.asarray(meta), stream, cchunk)
             oracle = fused_bounce_oracle(
                 origins, dirs, rng_state, scene, int(scene.max_bounces),
                 interpret=jax.default_backend() != "tpu",
                 det_eps=1e-8 if gpu0 else FLT_EPSILON, tmin=1e-4,
-                shadow_eps=shading.RT_EPS_GPU, shadow_tmin=1e-4)
+                shadow_eps=shading.RT_EPS_GPU, shadow_tmin=1e-4,
+                cand=cand)
     bounce = make_bounce_step(scene, model_axis, oracle=oracle)
     shared_origin0 = (shared_origin0
                       and getattr(bounce, "shared_origin_capable", False))

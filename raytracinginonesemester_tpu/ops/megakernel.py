@@ -2559,15 +2559,18 @@ def resume_tiles(
 
 def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
                         diffuse_bounce, dialect, shadow_samples, chunk,
-                        diff_out,
+                        diff_out, binned_chunk,
                         num_blocks, num_supers, n_lights, n_objects,
                         mm_attrs, mats_mm, nq,
                         cam_ref, lights_ref, mats_ref,
                         tri_ref, norm_ref, ids_ref, obj_ref, aabb_ref,
                         alane_ref, qsel_ref, matsq_ref, qaabb_ref,
                         order_ref, entry_ref,
-                        st_ref, rng_ref,
-                        st_out, rng_out, *rest):
+                        st_ref, rng_ref, *rest):
+    if binned_chunk:
+        cmeta_ref, cstream_ref, st_out, rng_out, *rest = rest
+    else:
+        st_out, rng_out, *rest = rest
     """ONE planned bounce on packed per-ray state (state in, state out).
 
     The staged wavefront scheduler re-sorts the alive prefix between
@@ -2580,9 +2583,14 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
     col_scr = None
     diff_ref = None
     uv_scr = vis_scr = dec_scr = None
+    cand_buf = cand_sem = None
     if diff_out:
         diff_ref, *scratch = rest
-        *scratch, u_l, v_l, vis_scr, dec_scr = scratch
+        if binned_chunk:
+            *scratch, u_l, v_l, vis_scr, dec_scr, cand_buf, cand_sem = \
+                scratch
+        else:
+            *scratch, u_l, v_l, vis_scr, dec_scr = scratch
         uv_scr = (u_l, v_l)
         scratch = tuple(scratch)
     else:
@@ -2625,6 +2633,8 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
         dialect=dialect, qsel_ref=qsel_ref if mm_attrs else None,
         mm_f32_dot=mm_attrs == 2, qaabb_ref=qaabb_ref, nq=nq,
         uv_scr=uv_scr,
+        binned=((cstream_ref, cmeta_ref, cand_buf, cand_sem)
+                if binned_chunk else None),
     )
     shade = _make_shade(
         det_eps, shadow_eps, shadow_tmin, num_blocks, n_lights, n_objects,
@@ -2660,7 +2670,8 @@ def _bounce_step_kernel(det_eps, tmin, shadow_eps, shadow_tmin,
     # dead tiles (the sorted suffix) skip straight to the passthrough
     @pl.when(jnp.any(alive_st[:] > 0.0))
     def _():
-        bounce(not staged_flat(num_blocks))
+        bounce("binned" if binned_chunk
+               else not staged_flat(num_blocks))
         if diff_out:
             # oracle rows: [t, u, v, idx, vis bits, decision bits, 0, 0]
             # (ints as exact f32; consumed by the detached-diff chain)
@@ -2701,6 +2712,9 @@ def bounce_step_tiles(
     shadow_samples: int = 1,
     chunk: int = 0,
     diff_out: bool = False,
+    cand_meta=None,
+    cand_stream=None,
+    cand_chunk: int = 0,
 ):
     """One planned bounce over packed state tiles -> (state', rng').
 
@@ -2729,6 +2743,13 @@ def bounce_step_tiles(
     if diff_out:
         assert dialect == "gpu" and not chunk, \
             "diff oracle: gpu dialect, unchunked visits"
+    if cand_chunk:
+        # binned candidate traversal (ops.binned): only wired for the
+        # oracle's depth-0 camera bounce — the plan is a per-TILE
+        # camera bin, meaningless for re-sorted bounce wavefronts
+        assert diff_out, "binned bounce: oracle (diff_out) path only"
+        assert cand_meta.shape[0] == nt, \
+            "candidate plan built for a different tile stream"
 
     (scalar_ops, scalar_specs, geom_ops, geom_specs,
      n_lights, n_objects) = _scene_rows(scene, grid)
@@ -2746,6 +2767,12 @@ def bounce_step_tiles(
            pl.BlockSpec((8, rt), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)]
     )
+    if cand_chunk:
+        in_specs = in_specs + [
+            pl.BlockSpec((8, 8), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
 
     scratch = _bounce_scratch(dialect == "cpuonly", rt=rt)
     if chunk:
@@ -2771,10 +2798,17 @@ def bounce_step_tiles(
                     pltpu.VMEM((1, rt), jnp.float32),
                     pltpu.VMEM((1, rt), jnp.int32),
                     pltpu.VMEM((1, rt), jnp.int32)]
+    extra_ops = ()
+    if cand_chunk:
+        from .binned import CAND_ROWS
+
+        scratch += [pltpu.VMEM((2, CAND_ROWS, cand_chunk), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,))]
+        extra_ops = (cand_meta, cand_stream)
     outs = pl.pallas_call(
         partial(_bounce_step_kernel, det_eps, tmin, shadow_eps, shadow_tmin,
                 bool(scene.diffuse_bounce), dialect, int(shadow_samples),
-                int(chunk), bool(diff_out),
+                int(chunk), bool(diff_out), int(cand_chunk),
                 l, ls, n_lights, n_objects, mm_attrs_mode(grid, interpret),
                 mats_mm_mode(n_objects, interpret),
                 quarters_for(grid.tri_index.shape[1])),
@@ -2786,5 +2820,5 @@ def bounce_step_tiles(
             scratch_shapes=scratch,
         ),
         interpret=interpret,
-    )(*scalar_ops, *geom_ops, order, entry, state, rng_state)
+    )(*scalar_ops, *geom_ops, order, entry, state, rng_state, *extra_ops)
     return tuple(outs)

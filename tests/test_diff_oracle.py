@@ -201,3 +201,39 @@ def test_oracle_matches_brute_gradients(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(g_oracle[k]), np.asarray(g_brute[k]),
             rtol=2e-5, atol=1e-7, err_msg=f"grad {k}")
+
+
+def test_oracle_binned_depth0_matches(monkeypatch):
+    """Binned depth-0 oracle (camera_candidate_context) vs the plain
+    oracle: the plan is a conservative superset and the winner rule is
+    order-invariant, so the loss is bit-identical and gradients equal
+    in exact (interpret) semantics — including after the vertices MOVE
+    within the plan's slack (the on-device refresh_stream regather)."""
+    from raytracinginonesemester_tpu.diff.inverse import (
+        camera_candidate_context)
+
+    monkeypatch.setattr(integrator, "_DIFF_ORACLE", True)
+    scene = _diff_scene(w=96, h=64, bounces=2)
+    params = extract_params(
+        scene, keys=("albedo", "light_intensity", "vertices"))
+    target = rt.render_scene(scene, jitter_mode="center", spp_override=1)
+    # move vertices WITHIN the slack after the plan is built
+    rs = np.random.RandomState(1)
+    moved = dict(params)
+    moved["vertices"] = jnp.asarray(
+        np.asarray(params["vertices"])
+        + 0.01 * rs.standard_normal(params["vertices"].shape)
+        .astype(np.float32))
+
+    jax.clear_caches()
+    loss0, g0 = _vg(scene, moved, target)
+    jax.clear_caches()
+    ctx = camera_candidate_context(apply_params(scene, params),
+                                   slack=0.05)
+    with ctx:
+        loss1, g1 = _vg(scene, moved, target)
+    assert np.asarray(loss0) == np.asarray(loss1), \
+        "binned oracle changed the loss (plan not conservative?)"
+    for k in moved:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]),
+                                   rtol=0, atol=0, err_msg=f"grad {k}")
