@@ -50,7 +50,21 @@ def timed(name, fn, iters=5):
           f"chk {c:.4e})  flags={flags}", flush=True)
 
 
+cand = None
+if os.environ.get("RT_BINNED", "1") != "0":
+    # round 5: bisect the BINNED emit (the production default) —
+    # RT_BINNED=0 reproduces the round-4 plan-walk bisect
+    from raytracinginonesemester_tpu.ops.binned import (
+        build_camera_candidate_plan)
+    from raytracinginonesemester_tpu.ops.megakernel import quarters_for
+
+    cand = build_camera_candidate_plan(
+        scene.camera, xs_p, ys_p, grid, RAY_TILE,
+        nq=quarters_for(int(grid.tri_index.shape[1])),
+        chunk=int(os.environ.get("RT_BINNED_CHUNK", "256")))
+
 noop = jax.jit(lambda o: jnp.full((8, 128), o, jnp.float32))
 timed("rtt_floor", noop)
-emit_j = jax.jit(lambda s: emit_tiles(scene, xs_p, ys_p, s, plan=plan))
+emit_j = jax.jit(lambda s: emit_tiles(scene, xs_p, ys_p, s, plan=plan,
+                                      cand_plan=cand))
 timed("emit(d0)", emit_j)
